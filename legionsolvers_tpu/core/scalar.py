@@ -1,0 +1,107 @@
+"""Deferred scalars.
+
+TPU-native analog of the reference's ``Scalar<T>`` (reference: Scalar.hpp:11-72,
+Scalar.cpp:26-116), which wraps a Legion future and overloads arithmetic so
+solver drivers never block.  Under ``jax.jit`` a traced 0-d array *is* a
+future: arithmetic on it builds the XLA dependency graph and nothing blocks
+until someone materializes a value, so this class is a thin wrapper kept for
+API parity and for the future-ratio ("get_alpha") protocol.
+
+The reference passes axpy/xpay coefficients as *unevaluated ratios of futures*
+so leaf tasks compute the division locally (reference: LegionUtilities.cpp:72-97,
+``get_alpha``: 0 futures -> 1, 1 -> f0, 2 -> f0/f1, 3 -> (f0*f1)/f2,
+4 -> (f0*f1)/(f2*f3)).  :func:`alpha_from_scalars` reproduces that protocol
+exactly; under jit the divisions fuse into the consuming kernel anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import jax.numpy as jnp
+
+Number = Union[int, float, "Scalar"]
+
+
+class Scalar:
+    """A deferred scalar value: wraps a 0-d jax array (or python number while
+    outside a trace).  All arithmetic stays on device / in the trace."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        if isinstance(value, Scalar):
+            value = value.value
+        self.value = jnp.asarray(value)
+
+    # -- arithmetic (reference: Scalar.cpp:26-94) --------------------------
+    def _lift(self, other: Number) -> jnp.ndarray:
+        return other.value if isinstance(other, Scalar) else jnp.asarray(
+            other, dtype=self.value.dtype
+        )
+
+    def __add__(self, other: Number) -> "Scalar":
+        return Scalar(self.value + self._lift(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other: Number) -> "Scalar":
+        return Scalar(self.value - self._lift(other))
+
+    def __rsub__(self, other: Number) -> "Scalar":
+        return Scalar(self._lift(other) - self.value)
+
+    def __mul__(self, other: Number) -> "Scalar":
+        return Scalar(self.value * self._lift(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other: Number) -> "Scalar":
+        return Scalar(self.value / self._lift(other))
+
+    def __rtruediv__(self, other: Number) -> "Scalar":
+        return Scalar(self._lift(other) / self.value)
+
+    def __neg__(self) -> "Scalar":
+        return Scalar(-self.value)
+
+    def sqrt(self) -> "Scalar":
+        return Scalar(jnp.sqrt(self.value))
+
+    def rsqrt(self) -> "Scalar":
+        return Scalar(jnp.reciprocal(jnp.sqrt(self.value)))
+
+    # -- materialization ---------------------------------------------------
+    def get_value(self) -> float:
+        """Blocking read — the analog of ``Future::get_result``.  Only legal
+        outside a jit trace; inside a trace, keep composing instead."""
+        return float(self.value)
+
+    def print(self, dummy=None):
+        """Print the value (reference: Scalar.cpp:96-116 chains on a future to
+        order output; eager jax is already ordered)."""
+        print(f"{self.get_value():g}")
+        return dummy
+
+    def __repr__(self) -> str:
+        return f"Scalar({self.value!r})"
+
+
+def alpha_from_scalars(scalars: Sequence[Scalar]) -> jnp.ndarray:
+    """The reference's future-ratio protocol (LegionUtilities.cpp:72-97).
+
+    0 scalars -> 1;  1 -> s0;  2 -> s0/s1;  3 -> (s0*s1)/s2;
+    4 -> (s0*s1)/(s2*s3).  Anything else is an error, as in the reference.
+    """
+    vals = [s.value if isinstance(s, Scalar) else jnp.asarray(s) for s in scalars]
+    if len(vals) == 0:
+        return jnp.asarray(1.0)
+    if len(vals) == 1:
+        return vals[0]
+    if len(vals) == 2:
+        return vals[0] / vals[1]
+    if len(vals) == 3:
+        return (vals[0] * vals[1]) / vals[2]
+    if len(vals) == 4:
+        return (vals[0] * vals[1]) / (vals[2] * vals[3])
+    raise ValueError(f"alpha_from_scalars: got {len(vals)} scalars, expected 0-4")

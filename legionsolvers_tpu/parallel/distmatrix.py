@@ -1,0 +1,244 @@
+"""Row-partitioned distributed sparse operators with explicit halo exchange.
+
+This is the TPU-native realization of the reference's partitioned ``matvec``
+launch (reference: COOMatrix.cpp:144-191, SquarePlanner.hpp:209-235): the
+reference gives each piece (a) its block of output rows, (b) the kernel
+sub-region of nonzeros whose row lands in that block (preimage of the row
+field), and (c) a *ghost partition* of the source vector (image of the col
+field) that Legion materializes by copying remote entries.  Legion moves the
+ghost data implicitly; here the movement is an explicit, compile-time
+``ppermute`` schedule computed once on the host
+(:func:`legionsolvers_tpu.core.partition.build_halo_exchange`).
+
+Per-shard data layout (all shapes static, identical across shards — SPMD):
+
+* local nonzeros in **ELL** layout ``[B, L]`` (B = rows per shard, L = max
+  nonzeros/row), with column indices remapped into the shard's *extended
+  x buffer* ``[0, B + halo_total + 1)``: own block first, then halo slots
+  (sorted by global id), then one dump slot for padding;
+* for each ring offset ``d``: gather indices of what to send to shard
+  ``(s+d) % S`` and scatter positions for what arrives from ``(s-d) % S``.
+
+``matvec`` runs under ``jax.shard_map``: gather-send -> ``ppermute`` ->
+scatter into the extended buffer -> dense ELL gather + row reduction.  XLA
+overlaps the independent ppermutes with each other and with the local
+portion of the compute (the analog of Legion overlapping ghost copies with
+leaf tasks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..options import SHARD_AXIS, SolverOptions, DEFAULT_OPTIONS
+from ..core.matrix import AbstractMatrix
+from ..core.partition import (
+    BlockPartition,
+    HaloExchange,
+    build_halo_exchange,
+    kernel_partition_from_range,
+)
+
+
+class RowPartitionedMatrix:
+    """A sparse operator partitioned by row blocks over the solver mesh.
+
+    Built host-side from any :class:`AbstractMatrix` plus the canonical
+    domain/range block partitions (the planner's
+    ``add_row_partitioned_matrix``, SquarePlanner.hpp:209-235).  The domain
+    and range partitions may differ in extent but must share piece count.
+    """
+
+    def __init__(
+        self,
+        matrix: AbstractMatrix,
+        domain_partition: BlockPartition,
+        range_partition: BlockPartition,
+        mesh: Optional[Mesh],
+        options: SolverOptions = DEFAULT_OPTIONS,
+    ):
+        if domain_partition.num_pieces != range_partition.num_pieces:
+            raise ValueError("domain/range piece counts must match")
+        if mesh is not None and mesh.shape[SHARD_AXIS] != range_partition.num_pieces:
+            raise ValueError(
+                f"mesh has {mesh.shape[SHARD_AXIS]} shards but partition has "
+                f"{range_partition.num_pieces} pieces"
+            )
+        self.matrix = matrix
+        self.domain_partition = domain_partition
+        self.range_partition = range_partition
+        self.mesh = mesh
+        self.options = options
+
+        S = range_partition.num_pieces
+        B_r = range_partition.block_size
+        B_d = domain_partition.block_size
+
+        # --- dependent partitioning, host side --------------------------
+        kernel_pieces = kernel_partition_from_range(matrix.rows, range_partition)
+        self.kernel_pieces = kernel_pieces
+        self.halo: HaloExchange = build_halo_exchange(
+            matrix.cols, kernel_pieces, domain_partition
+        )
+        ext = self.halo.ext_size
+        dump = ext - 1
+
+        # --- per-shard ELL with remapped columns ------------------------
+        counts_per_row = np.zeros((S, B_r), dtype=np.int64)
+        for s in range(S):
+            local_rows = matrix.rows[kernel_pieces[s]] - s * B_r
+            np.add.at(counts_per_row[s], local_rows, 1)
+        L = max(int(counts_per_row.max(initial=0)), 1)
+        self.row_length = L
+
+        idt = np.int32
+        ell_cols = np.full((S, B_r, L), dump, dtype=idt)
+        ell_vals = np.zeros((S, B_r, L), dtype=np.asarray(matrix.vals).dtype)
+        for s in range(S):
+            knz = kernel_pieces[s]
+            lrows = (matrix.rows[knz] - s * B_r).astype(np.int64)
+            gcols = matrix.cols[knz]
+            owners = domain_partition.owner_of(gcols)
+            local = owners == s
+            lcols = np.empty(len(gcols), dtype=np.int64)
+            lcols[local] = gcols[local] - s * B_d
+            hg = self.halo.halo_global[s]
+            lcols[~local] = B_d + np.searchsorted(hg, gcols[~local])
+            # slot position within each row (stable order by kernel index)
+            order = np.argsort(lrows, kind="stable")
+            lr_s, lc_s = lrows[order], lcols[order]
+            vals_s = np.asarray(matrix.vals)[knz][order]
+            starts = np.zeros(B_r + 1, dtype=np.int64)
+            np.add.at(starts, lr_s + 1, 1)
+            starts = np.cumsum(starts)
+            slot = np.arange(len(lr_s)) - starts[:-1].repeat(np.diff(starts))
+            ell_cols[s, lr_s, slot] = lc_s
+            ell_vals[s, lr_s, slot] = vals_s
+
+        o = options
+        if mesh is None:
+            # Unsharded path: one global ELL slab with *global padded* column
+            # indices (padded slots carry val 0, col 0 — harmless).  Used for
+            # single-device runs and as the semantics reference for the
+            # sharded path.
+            g_cols = np.zeros((S * B_r, L), dtype=np.int64)
+            g_vals = np.zeros((S * B_r, L), dtype=np.asarray(matrix.vals).dtype)
+            for s in range(S):
+                lc = ell_cols[s].astype(np.int64)
+                hg = self.halo.halo_global[s]
+                gc = np.zeros_like(lc)
+                local = lc < B_d
+                halo_slot = (lc >= B_d) & (lc < B_d + len(hg))
+                gc[local] = lc[local] + s * B_d
+                if len(hg):
+                    gc[halo_slot] = hg[lc[halo_slot] - B_d]
+                g_cols[s * B_r : (s + 1) * B_r] = gc
+                g_vals[s * B_r : (s + 1) * B_r] = ell_vals[s]
+            self.g_ell_cols = jnp.asarray(g_cols.astype(np.int32))
+            self.g_ell_vals = jnp.asarray(g_vals.astype(options.entry_dtype))
+        shard3 = (
+            NamedSharding(mesh, P(SHARD_AXIS, None, None)) if mesh else None
+        )
+        shard2 = NamedSharding(mesh, P(SHARD_AXIS, None)) if mesh else None
+        put = lambda a, sh: (
+            jax.device_put(jnp.asarray(a), sh) if sh is not None else jnp.asarray(a)
+        )
+        self.ell_cols = put(ell_cols.astype(idt), shard3)
+        self.ell_vals = put(ell_vals.astype(o.entry_dtype), shard3)
+        self.send_idx = {
+            d: put(self.halo.send_idx[d].astype(idt), shard2)
+            for d in self.halo.offsets
+        }
+        self.recv_pos = {
+            d: put(self.halo.recv_pos[d].astype(idt), shard2)
+            for d in self.halo.offsets
+        }
+
+        self._S = S
+        self._B_d = B_d
+        self._B_r = B_r
+        self._matvec_sharded = None
+
+    # ------------------------------------------------------------------
+    @property
+    def num_pieces(self) -> int:
+        return self._S
+
+    def nnz(self) -> int:
+        return self.matrix.n_kernel
+
+    # ------------------------------------------------------------------
+    def _local_matvec(self, x_blk, ell_cols, ell_vals, *sched):
+        """Per-shard body (runs inside shard_map).  ``x_blk`` is [1, B_d]."""
+        S = self._S
+        B_d = self._B_d
+        x_loc = x_blk.reshape(-1)
+        ext = jnp.zeros(self.halo.ext_size, dtype=x_loc.dtype)
+        ext = ext.at[:B_d].set(x_loc)
+        # Halo exchange: one ppermute per ring offset; all are independent,
+        # XLA overlaps them on ICI.
+        n_off = len(self.halo.offsets)
+        for k, d in enumerate(self.halo.offsets):
+            sidx = sched[k].reshape(-1)
+            rpos = sched[n_off + k].reshape(-1)
+            send = x_loc[sidx]
+            perm = [(i, (i + d) % S) for i in range(S)]
+            recv = jax.lax.ppermute(send, SHARD_AXIS, perm)
+            ext = ext.at[rpos].set(recv)
+        # Local SpMV: dense gather + row-sum over the ELL slab.
+        gathered = ext[ell_cols[0]]  # [B_r, L]
+        y = jnp.sum(ell_vals[0] * gathered, axis=1)
+        return y  # [B_r]; out_spec P(SHARD_AXIS) reassembles [S * B_r]
+
+    def _build_matvec(self):
+        mesh = self.mesh
+        n_off = len(self.halo.offsets)
+        specs2 = (P(SHARD_AXIS, None),) * (2 * n_off)
+        f = jax.shard_map(
+            self._local_matvec,
+            mesh=mesh,
+            in_specs=(
+                P(SHARD_AXIS),
+                P(SHARD_AXIS, None, None),
+                P(SHARD_AXIS, None, None),
+            )
+            + specs2,
+            out_specs=P(SHARD_AXIS),
+        )
+
+        def matvec(x):
+            sched = tuple(self.send_idx[d] for d in self.halo.offsets) + tuple(
+                self.recv_pos[d] for d in self.halo.offsets
+            )
+            y = f(x, self.ell_cols, self.ell_vals, *sched)
+            return y.reshape(-1)
+
+        return matvec
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x over padded sharded arrays: x has length
+        ``domain_partition.padded_size``, result ``range_partition.padded_size``.
+
+        Padding correctness: padded ELL slots point at the dump slot with
+        value 0; padded x slots are 0 by the vector invariant; padded output
+        rows have all-zero ELL rows, so y's padding stays 0.
+        """
+        if self.mesh is None:
+            # Unsharded path: plain ELL over the global padded arrays.
+            from ..ops.spmv import spmv_ell
+
+            return spmv_ell(self.g_ell_cols, self.g_ell_vals, x)
+        if self._matvec_sharded is None:
+            self._matvec_sharded = self._build_matvec()
+        return self._matvec_sharded(x)
+
+    def matvec_add(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """y += A @ x (reduction-accumulate form: the analog of the
+        reference's sum-reduction output privileges, COOMatrixTasks.cpp:38-39)."""
+        return y + self.matvec(x)

@@ -1,0 +1,192 @@
+"""SquarePlanner: assembles vectors + operators into a solvable system.
+
+TPU-native analog of the reference's ``SquarePlanner<T>``
+(reference: SquarePlanner.hpp:30-357).  It keeps the reference's vector-index
+algebra exactly — index 0 is the solution vector set, 1 the right-hand-side
+set, ``2 + k`` the k-th workspace set, each set holding one vector per
+registered "space" (block-system support: the reference registers the same
+matrix twice over two spaces in BenchmarkStencil.cpp:201-207) — so the
+solver classes are near-transcriptions of the reference algorithms.
+
+Differences, all TPU-motivated:
+* ``add_row_partitioned_matrix`` builds a
+  :class:`~legionsolvers_tpu.parallel.distmatrix.RowPartitionedMatrix` —
+  host-side dependent partitioning + static halo schedule — instead of
+  launching Legion dependent-partitioning ops.
+* The planner exposes ``dump_state()/load_state()`` so a whole solver
+  iteration can be traced once and driven by ``lax.scan`` (the analog of the
+  reference's physical-trace replay, LegionSolversMapper.cpp:52-59).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .core.matrix import AbstractMatrix
+from .core.partition import BlockPartition
+from .core.scalar import Scalar
+from .core.vector import PartitionedVector, _resolve_alpha
+from .ops import blas1
+from .options import SolverOptions, DEFAULT_OPTIONS
+from .parallel.distmatrix import RowPartitionedMatrix
+
+SOL = 0
+RHS = 1
+
+
+class SquarePlanner:
+    def __init__(self, mesh=None, options: SolverOptions = DEFAULT_OPTIONS):
+        self.mesh = mesh
+        self.options = options
+        self.canonical_partitions: List[BlockPartition] = []
+        self.sol_vectors: List[PartitionedVector] = []
+        self.rhs_vectors: List[PartitionedVector] = []
+        self.workspace_vectors: List[List[PartitionedVector]] = []
+        self.row_partitioned_matrices: List[
+            Tuple[RowPartitionedMatrix, int, int]
+        ] = []
+
+    # -- registration (reference: SquarePlanner.hpp:99-188) ----------------
+    def _register_canonical(self, idx: int, v: PartitionedVector) -> None:
+        if len(self.canonical_partitions) > idx:
+            if self.canonical_partitions[idx] != v.partition:
+                raise ValueError("vector partition disagrees with canonical")
+        else:
+            if len(self.canonical_partitions) != idx:
+                raise ValueError("sol/rhs vectors must be added alternately")
+            self.canonical_partitions.append(v.partition)
+
+    def add_sol_vector(self, v: PartitionedVector) -> int:
+        if self.workspace_vectors:
+            raise RuntimeError("cannot add vectors after allocate_workspace")
+        idx = len(self.sol_vectors)
+        self._register_canonical(idx, v)
+        self.sol_vectors.append(v)
+        return idx
+
+    def add_rhs_vector(self, v: PartitionedVector) -> int:
+        if self.workspace_vectors:
+            raise RuntimeError("cannot add vectors after allocate_workspace")
+        idx = len(self.rhs_vectors)
+        self._register_canonical(idx, v)
+        self.rhs_vectors.append(v)
+        return idx
+
+    @property
+    def num_spaces(self) -> int:
+        n = len(self.canonical_partitions)
+        assert n == len(self.sol_vectors) == len(self.rhs_vectors)
+        return n
+
+    def allocate_workspace(self, num_vectors: int) -> None:
+        """Allocate ``num_vectors`` workspace vector sets, one vector per
+        canonical space (reference: SquarePlanner.hpp:153-188)."""
+        if self.workspace_vectors:
+            raise RuntimeError("workspace already allocated")
+        for j in range(num_vectors):
+            self.workspace_vectors.append(
+                [
+                    PartitionedVector(
+                        f"workspace_{j}_{i}",
+                        self.canonical_partitions[i],
+                        mesh=self.mesh,
+                        options=self.options,
+                    )
+                    for i in range(self.num_spaces)
+                ]
+            )
+
+    def add_row_partitioned_matrix(
+        self, matrix: AbstractMatrix, domain_index: int, range_index: int
+    ) -> None:
+        """reference: SquarePlanner.hpp:209-235 — derive the kernel partition
+        from the canonical range partition and the ghost partition from the
+        kernel partition; here both become the static ELL + halo schedule of
+        a RowPartitionedMatrix."""
+        if domain_index >= self.num_spaces or range_index >= self.num_spaces:
+            raise ValueError("space index out of range")
+        dist = RowPartitionedMatrix(
+            matrix,
+            domain_partition=self.canonical_partitions[domain_index],
+            range_partition=self.canonical_partitions[range_index],
+            mesh=self.mesh,
+            options=self.options,
+        )
+        self.row_partitioned_matrices.append((dist, domain_index, range_index))
+
+    # -- vector access (reference: SquarePlanner.hpp:237-246) --------------
+    def get_vector(self, vec_idx: int, space_idx: int) -> PartitionedVector:
+        if vec_idx == SOL:
+            return self.sol_vectors[space_idx]
+        if vec_idx == RHS:
+            return self.rhs_vectors[space_idx]
+        return self.workspace_vectors[vec_idx - 2][space_idx]
+
+    def _vectors(self, vec_idx: int) -> List[PartitionedVector]:
+        return [self.get_vector(vec_idx, i) for i in range(self.num_spaces)]
+
+    # -- algebra (reference: SquarePlanner.hpp:248-357) --------------------
+    def zero_fill(self, vec_idx: int) -> None:
+        for v in self._vectors(vec_idx):
+            v.zero_fill()
+
+    def copy(self, dst_idx: int, src_idx: int) -> None:
+        for d, s in zip(self._vectors(dst_idx), self._vectors(src_idx)):
+            d.assign(s)
+
+    def scal(self, dst_idx: int, *alpha) -> None:
+        for v in self._vectors(dst_idx):
+            v.scal(*alpha)
+
+    def axpy(self, dst_idx: int, *args) -> None:
+        """axpy(dst, alpha..., src): dst += alpha * src with the 1/2/3-scalar
+        future-ratio protocol (reference: SquarePlanner.hpp:275-310)."""
+        *alpha, src_idx = args
+        for d, s in zip(self._vectors(dst_idx), self._vectors(src_idx)):
+            d.axpy(*alpha, s)
+
+    def xpay(self, dst_idx: int, *args) -> None:
+        *alpha, src_idx = args
+        for d, s in zip(self._vectors(dst_idx), self._vectors(src_idx)):
+            d.xpay(*alpha, s)
+
+    def dot(self, v_idx: int, w_idx: int) -> Scalar:
+        """Sum of per-space dots (reference: SquarePlanner.hpp:331-338)."""
+        parts = [
+            blas1.dot(v.data, w.data)
+            for v, w in zip(self._vectors(v_idx), self._vectors(w_idx))
+        ]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return Scalar(total)
+
+    def matvec(self, dst_idx: int, src_idx: int) -> None:
+        """dst = sum over registered operators of A @ src, accumulated per
+        range space (reference: SquarePlanner.hpp:340-357)."""
+        self.zero_fill(dst_idx)
+        for dist, domain_index, range_index in self.row_partitioned_matrices:
+            dst = self.get_vector(dst_idx, range_index)
+            src = self.get_vector(src_idx, domain_index)
+            dst.data = dist.matvec_add(dst.data, src.data)
+
+    # -- functional state for scan-based solver loops ----------------------
+    def dump_state(self) -> Dict:
+        state = {
+            "sol": tuple(v.data for v in self.sol_vectors),
+            "rhs": tuple(v.data for v in self.rhs_vectors),
+        }
+        for j, ws in enumerate(self.workspace_vectors):
+            state[f"ws{j}"] = tuple(v.data for v in ws)
+        return state
+
+    def load_state(self, state: Dict) -> None:
+        for v, d in zip(self.sol_vectors, state["sol"]):
+            v.data = d
+        for v, d in zip(self.rhs_vectors, state["rhs"]):
+            v.data = d
+        for j, ws in enumerate(self.workspace_vectors):
+            for v, d in zip(ws, state[f"ws{j}"]):
+                v.data = d

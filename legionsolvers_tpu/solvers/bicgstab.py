@@ -1,0 +1,103 @@
+"""BiCGStab solver (preconditioner-free).
+
+Transcription of the reference's ``BiCGStabSolver<T>``
+(reference: BiCGStabSolver.hpp:13-84) onto the TPU planner: same vector
+indices (SOL=0, RHS=1, P=2, R=3, R_TILDE=4, U=5, V=6), same rho/alpha/omega
+recurrences carried as deferred Scalars, two matvecs per step.  ``solve``
+compiles the iteration once and scans it, tracking ||r||^2 per step.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..core.scalar import Scalar
+from ..planner import SquarePlanner
+
+
+class BiCGStabSolver:
+    SOL = 0
+    RHS = 1
+    P = 2
+    R = 3
+    R_TILDE = 4
+    U = 5
+    V = 6
+
+    def __init__(self, planner: SquarePlanner):
+        self.planner = planner
+        planner.allocate_workspace(5)
+        planner.copy(self.R, self.RHS)
+        planner.copy(self.R_TILDE, self.RHS)
+        dtype = planner.options.entry_dtype
+        one = Scalar(jnp.asarray(1.0, dtype))
+        zero = Scalar(jnp.asarray(0.0, dtype))
+        self.rho: List[Scalar] = [one]
+        self.alpha: List[Scalar] = [zero]
+        self.omega: List[Scalar] = [one]
+        planner.zero_fill(self.P)
+        planner.zero_fill(self.V)
+
+    def step(self) -> None:
+        """One BiCGStab iteration (reference: BiCGStabSolver.hpp:64-82)."""
+        planner = self.planner
+        rho_new = planner.dot(self.R, self.R_TILDE)
+        beta = (rho_new / self.rho[-1]) * (self.alpha[-1] / self.omega[-1])
+        self.rho.append(rho_new)
+        planner.axpy(self.P, -self.omega[-1], self.V)
+        planner.xpay(self.P, beta, self.R)
+        planner.matvec(self.V, self.P)
+        temp = planner.dot(self.R_TILDE, self.V)
+        planner.axpy(self.R, Scalar(-1.0), self.rho[-1], temp, self.V)
+        self.alpha.append(self.rho[-1] / temp)
+        planner.matvec(self.U, self.R)
+        r_anorm2 = planner.dot(self.R, self.U)
+        u_norm2 = planner.dot(self.U, self.U)
+        self.omega.append(r_anorm2 / u_norm2)
+        planner.axpy(self.SOL, self.alpha[-1], self.P)
+        planner.axpy(self.SOL, self.omega[-1], self.R)
+        planner.axpy(self.R, -self.omega[-1], self.U)
+
+    def residual_norm_squared(self) -> Scalar:
+        return self.planner.dot(self.R, self.R)
+
+    def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
+        """Scan ``num_iterations`` compiled steps; returns the ||r||^2 history
+        (length num_iterations + 1, starting with the initial residual)."""
+        planner = self.planner
+
+        def step_fn(carry, _):
+            state, rho, alpha, omega = carry
+            planner.load_state(state)
+            self.rho = [Scalar(rho)]
+            self.alpha = [Scalar(alpha)]
+            self.omega = [Scalar(omega)]
+            self.step()
+            rr = self.residual_norm_squared().value
+            new_carry = (
+                planner.dump_state(),
+                self.rho[-1].value,
+                self.alpha[-1].value,
+                self.omega[-1].value,
+            )
+            return new_carry, rr
+
+        rr0 = self.residual_norm_squared().value
+        init = (
+            planner.dump_state(),
+            self.rho[-1].value,
+            self.alpha[-1].value,
+            self.omega[-1].value,
+        )
+        run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
+        if use_jit:
+            run = jax.jit(run)
+        (final_state, rho, alpha, omega), history = run(init)
+        planner.load_state(final_state)
+        self.rho = [Scalar(rho)]
+        self.alpha = [Scalar(alpha)]
+        self.omega = [Scalar(omega)]
+        return jnp.concatenate([jnp.reshape(rr0, (1,)), history])

@@ -1,0 +1,80 @@
+"""Conjugate Gradient solver over the planner algebra.
+
+Transcription of the reference's ``CGSolver<T>`` (reference: CGSolver.hpp:13-57)
+onto the TPU planner: same vector indices (SOL=0, RHS=1, P=2, Q=3, R=4), same
+future-ratio coefficient passing (2-future and 3-future axpy, 2-future xpay),
+same residual-norm-squared history.  Where the reference's ``step()`` issues
+an async task DAG per iteration, here ``step()`` traces the same DAG into XLA
+and :meth:`solve` compiles the whole iteration once and drives it with
+``lax.scan`` — the analog of Legion physical-trace replay
+(reference: BenchmarkStencil.cpp:219-246, LegionSolversMapper.cpp:52-59).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..core.scalar import Scalar
+from ..planner import SquarePlanner
+
+
+class CGSolver:
+    SOL = 0
+    RHS = 1
+    P = 2
+    Q = 3
+    R = 4
+
+    def __init__(self, planner: SquarePlanner):
+        self.planner = planner
+        planner.allocate_workspace(3)
+        planner.copy(self.P, self.RHS)
+        planner.copy(self.R, self.RHS)
+        self.residual_norm_squared: List[Scalar] = [planner.dot(self.R, self.R)]
+
+    def step(self) -> None:
+        """One CG iteration (reference: CGSolver.hpp:46-55)."""
+        planner = self.planner
+        planner.matvec(self.Q, self.P)
+        p_norm = planner.dot(self.P, self.Q)
+        r_norm2_old = self.residual_norm_squared[-1]
+        planner.axpy(self.SOL, r_norm2_old, p_norm, self.P)
+        planner.axpy(self.R, Scalar(-1.0), r_norm2_old, p_norm, self.Q)
+        r_norm2_new = planner.dot(self.R, self.R)
+        self.residual_norm_squared.append(r_norm2_new)
+        planner.xpay(self.P, r_norm2_new, r_norm2_old, self.R)
+
+    def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
+        """Run ``num_iterations`` steps as one compiled ``lax.scan`` loop.
+
+        Returns the residual² history of length ``num_iterations + 1``
+        (matching Test05's printed output, Test05COOSolveCG.cpp:84-89) and
+        leaves the planner holding the final vectors.
+        """
+        planner = self.planner
+
+        def step_fn(carry, _):
+            state, rr_old = carry
+            planner.load_state(state)
+            self.residual_norm_squared = [Scalar(rr_old)]
+            self.step()
+            rr_new = self.residual_norm_squared[-1].value
+            return (planner.dump_state(), rr_new), rr_new
+
+        rr0 = self.residual_norm_squared[-1].value
+        init = (planner.dump_state(), rr0)
+        scan = jax.lax.scan
+        if use_jit:
+            run = jax.jit(
+                lambda c: scan(step_fn, c, None, length=num_iterations)
+            )
+        else:
+            run = lambda c: scan(step_fn, c, None, length=num_iterations)
+        (final_state, _), history = run(init)
+        planner.load_state(final_state)
+        full = jnp.concatenate([jnp.reshape(rr0, (1,)), history])
+        self.residual_norm_squared = [Scalar(v) for v in full]
+        return full
