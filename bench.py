@@ -1,0 +1,90 @@
+"""Benchmark driver — the analog of the reference's BenchmarkStencil
+(reference: test/BenchmarkStencil.cpp:209-262: warmup traces, timed traces,
+"Achieved X ms per iteration"; metric definition in bench_all.py:206).
+
+Runs CG on the 2-D 5-point negative Laplacian (the reference's dim-2
+benchmark case) on the real TPU chip, f32, via the matrix-free DIA stencil
+operator, and prints ONE JSON line:
+
+  {"metric": "cg_spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
+   "vs_baseline": ...}
+
+The reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
+is the fraction of the *measured* HBM streaming speed-of-light for a full CG
+iteration: a CG iteration on the DIA path moves ~56 bytes/unknown (matvec 8,
+dots 8, axpy/xpay/axpy 36, second dot fused 4).  1.0 = memory-bound optimum.
+
+Timing is marginal (short vs long compiled runs) to cancel the dispatch
+relay's fixed latency — see legionsolvers_tpu/utils/timing.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+N_GRID = 4096            # 2-D grid edge -> n = 16.7M unknowns
+SHORT_ITERS = 50
+LONG_ITERS = 250         # marginal window: 200 iterations (reference count)
+BYTES_PER_UNKNOWN_PER_ITER = 56.0
+
+
+def main() -> None:
+    from legionsolvers_tpu import CGSolver, SolverOptions
+    from legionsolvers_tpu.utils.timing import (
+        marginal_seconds_per_iter,
+        measure_stream_bandwidth,
+    )
+    import __graft_entry__ as ge
+
+    options = SolverOptions(entry_dtype=jnp.float32)
+    planner = ge._build_system(N_GRID, mesh=None, pieces=1, options=options)
+    solver = CGSolver(planner)
+    n = N_GRID * N_GRID
+    nnz = 5 * N_GRID * N_GRID - 4 * N_GRID  # 5-pt stencil exact nnz
+
+    bw = measure_stream_bandwidth(n)
+    print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
+
+    init_state = planner.dump_state()
+
+    def run(iters):
+        planner.load_state(init_state)  # identical work every run
+        return solver.solve(iters)
+
+    run(SHORT_ITERS), run(LONG_ITERS)  # compile both (cached scans)
+    sec_per_iter = marginal_seconds_per_iter(run, SHORT_ITERS, LONG_ITERS)
+    # report the short-run residual: f32 CG on this kappa ~ 1.7e6 system is
+    # numerically meaningful at 50 iterations (long runs are fixed-work
+    # timing only, like the reference's tol=0 baselines)
+    hist = run(SHORT_ITERS)
+
+    ms_per_iter = sec_per_iter * 1e3
+    nnz_per_s = nnz / sec_per_iter
+    sol_ms = BYTES_PER_UNKNOWN_PER_ITER * n / bw * 1e3
+    vs_baseline = sol_ms / ms_per_iter  # fraction of speed-of-light
+
+    print(
+        f"[bench] 2-D 5-pt CG, n={n} ({N_GRID}x{N_GRID}), f32, 1 chip: "
+        f"{ms_per_iter:.3f} ms/iter (stream-SOL {sol_ms:.3f} ms), "
+        f"{nnz_per_s/1e9:.2f} Gnnz/s, residual2[{SHORT_ITERS}] "
+        f"{float(np.asarray(hist)[-1]):.4g}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "cg_spmv_nnz_per_s",
+                "value": nnz_per_s,
+                "unit": "nnz/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

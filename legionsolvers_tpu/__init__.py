@@ -15,12 +15,23 @@ from .core.vector import PartitionedVector
 from .core.matrix import AbstractLinearOperator, AbstractMatrix, COOMatrix, CSRMatrix
 from .parallel.mesh import make_mesh, single_device_mesh, num_shards
 from .parallel.distmatrix import RowPartitionedMatrix
+from .parallel.stencil_op import StencilOperator
 from .planner import SquarePlanner
 from .solvers.cg import CGSolver
+from .solvers.bicgstab import BiCGStabSolver
+from .solvers.gmres import GMRESSolver
 from .problems.laplacian import (
     coo_negative_laplacian_1d,
     csr_negative_laplacian_1d,
     laplacian_1d_kernel_size,
+)
+from .problems.stencil import (
+    calculate_stencil_size,
+    create_coo_stencil_matrix,
+    create_csr_stencil_matrix,
+    create_linearized_csr_stencil_matrix,
+    laplacian_stencil,
+    stencil_grid_ndim,
 )
 
 __version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""BenchmarkStencil equivalent: the reference's benchmark driver as a CLI.
+
+Mirrors reference: test/BenchmarkStencil.cpp — flags ``-dim 1..4`` (1-D 3-pt,
+2-D 5-pt, 3-D 7-pt, 3-D 27-pt Laplacian), ``-solver 1|2|3`` (CG, BiCGStab,
+GMRES(10)), grid sizes ``-nx -ny -nz``, pieces ``-vp``, iterations ``-it``,
+and the reference's block-system stress setup (2 sol/rhs spaces with the
+matrix registered twice, BenchmarkStencil.cpp:201-207) via ``--block``.
+Prints "Achieved X ms per iteration" like the reference (:255-262) plus
+nnz/s and the fraction of the measured streaming roofline.
+
+Usage:  python -m legionsolvers_tpu.benchmark -dim 2 -nx 4096 -ny 4096 -it 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_planner(args, mesh, options):
+    from . import (
+        BlockPartition,
+        PartitionedVector,
+        SquarePlanner,
+        StencilOperator,
+        calculate_stencil_size,
+        laplacian_stencil,
+        stencil_grid_ndim,
+    )
+
+    nd = stencil_grid_ndim(args.dim)
+    shape = tuple([args.nx, args.ny, args.nz][:nd])
+    offsets = laplacian_stencil(args.dim)
+    n = int(np.prod(shape))
+    part = BlockPartition(n, args.vp)
+    op = StencilOperator(shape, offsets, partition=part, mesh=mesh, options=options)
+
+    planner = SquarePlanner(mesh=mesh, options=options)
+    num_spaces = 2 if args.block else 1
+    for i in range(num_spaces):
+        sol = PartitionedVector(f"sol{i}", part, mesh=mesh, options=options)
+        sol.zero_fill()
+        planner.add_sol_vector(sol)
+    for i in range(num_spaces):
+        rhs = PartitionedVector(f"rhs{i}", part, mesh=mesh, options=options)
+        rhs.constant_fill(1.0)
+        planner.add_rhs_vector(rhs)
+    for i in range(num_spaces):
+        # reference registers the same matrix once per space (diagonal blocks)
+        planner.add_operator(op, i, i)
+    nnz = calculate_stencil_size(shape, offsets) * num_spaces
+    return planner, n * num_spaces, nnz
+
+
+def main(argv=None) -> None:
+    from . import BiCGStabSolver, CGSolver, GMRESSolver, SolverOptions
+    from .parallel.mesh import make_mesh
+    from .utils.timing import marginal_seconds_per_iter, measure_stream_bandwidth
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-dim", type=int, default=2, choices=[1, 2, 3, 4])
+    p.add_argument("-solver", type=int, default=1, choices=[1, 2, 3],
+                   help="1=CG 2=BiCGStab 3=GMRES(restart)")
+    p.add_argument("-nx", type=int, default=4096)
+    p.add_argument("-ny", type=int, default=4096)
+    p.add_argument("-nz", type=int, default=256)
+    p.add_argument("-vp", type=int, default=1, help="pieces (mesh shards)")
+    p.add_argument("-it", type=int, default=200, help="timed iterations")
+    p.add_argument("-restart", type=int, default=10, help="GMRES restart")
+    p.add_argument("--block", action="store_true",
+                   help="2-space block system (reference stress setup)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    args = p.parse_args(argv)
+
+    options = SolverOptions(entry_dtype=jnp.dtype(args.dtype))
+    mesh = make_mesh(args.vp) if args.vp > 1 else None
+    planner, n, nnz = build_planner(args, mesh, options)
+
+    if args.solver == 1:
+        solver = CGSolver(planner)
+        # DIA-path CG traffic: ~56 bytes/unknown/iteration (see bench.py)
+        bytes_per_iter = 56.0 * n
+    elif args.solver == 2:
+        solver = BiCGStabSolver(planner)
+        # 2 matvecs + 4 dots + 6 axpy-class ops
+        bytes_per_iter = 96.0 * n
+    else:
+        solver = GMRESSolver(planner, restart=args.restart)
+        # per restart cycle: m matvecs + O(m^2) dots/axpys over m vectors
+        m = args.restart
+        bytes_per_iter = (8.0 * m + 12.0 * m * (m + 1)) * n / 1.0
+
+    bw = measure_stream_bandwidth()
+    print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
+
+    init_state = planner.dump_state()
+    short = max(args.it // 5, 1)
+
+    def run(iters):
+        planner.load_state(init_state)
+        return solver.solve(iters)
+
+    run(short), run(args.it)  # compile both lengths
+    sec_per_iter = marginal_seconds_per_iter(run, short, args.it)
+    hist = np.asarray(run(args.it))
+
+    ms = sec_per_iter * 1e3
+    sol_ms = bytes_per_iter / bw * 1e3
+    names = {1: "CG", 2: "BiCGStab", 3: f"GMRES({args.restart})"}
+    print(
+        f"[bench] dim={args.dim} {names[args.solver]} n={n} pieces={args.vp} "
+        f"dtype={args.dtype}: residual2[{args.it}]={hist[-1]:.4g}",
+        file=sys.stderr,
+    )
+    print(f"Achieved {ms:.6f} ms per iteration "
+          f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s, "
+          f"{100 * sol_ms / ms:.1f}% of stream roofline)")
+
+
+if __name__ == "__main__":
+    main()

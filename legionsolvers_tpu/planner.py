@@ -116,6 +116,18 @@ class SquarePlanner:
         )
         self.row_partitioned_matrices.append((dist, domain_index, range_index))
 
+    def add_operator(self, op, domain_index: int, range_index: int) -> None:
+        """Register a pre-distributed operator (e.g. a matrix-free
+        :class:`~legionsolvers_tpu.parallel.stencil_op.StencilOperator`).
+        The operator must expose ``matvec_add(y, x)`` over padded sharded
+        arrays and agree with the canonical partitions."""
+        if domain_index >= self.num_spaces or range_index >= self.num_spaces:
+            raise ValueError("space index out of range")
+        part = getattr(op, "partition", None)
+        if part is not None and part != self.canonical_partitions[range_index]:
+            raise ValueError("operator partition disagrees with canonical")
+        self.row_partitioned_matrices.append((op, domain_index, range_index))
+
     # -- vector access (reference: SquarePlanner.hpp:237-246) --------------
     def get_vector(self, vec_idx: int, space_idx: int) -> PartitionedVector:
         if vec_idx == SOL:

@@ -40,6 +40,7 @@ class BiCGStabSolver:
         self.omega: List[Scalar] = [one]
         planner.zero_fill(self.P)
         planner.zero_fill(self.V)
+        self._solve_cache = {}
 
     def step(self) -> None:
         """One BiCGStab iteration (reference: BiCGStabSolver.hpp:64-82)."""
@@ -92,9 +93,13 @@ class BiCGStabSolver:
             self.alpha[-1].value,
             self.omega[-1].value,
         )
-        run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
-        if use_jit:
-            run = jax.jit(run)
+        key = (num_iterations, use_jit)
+        run = self._solve_cache.get(key)
+        if run is None:
+            run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
+            if use_jit:
+                run = jax.jit(run)
+            self._solve_cache[key] = run
         (final_state, rho, alpha, omega), history = run(init)
         planner.load_state(final_state)
         self.rho = [Scalar(rho)]

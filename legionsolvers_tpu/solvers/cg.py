@@ -34,6 +34,7 @@ class CGSolver:
         planner.copy(self.P, self.RHS)
         planner.copy(self.R, self.RHS)
         self.residual_norm_squared: List[Scalar] = [planner.dot(self.R, self.R)]
+        self._solve_cache = {}
 
     def step(self) -> None:
         """One CG iteration (reference: CGSolver.hpp:46-55)."""
@@ -66,13 +67,16 @@ class CGSolver:
 
         rr0 = self.residual_norm_squared[-1].value
         init = (planner.dump_state(), rr0)
-        scan = jax.lax.scan
-        if use_jit:
-            run = jax.jit(
-                lambda c: scan(step_fn, c, None, length=num_iterations)
-            )
-        else:
-            run = lambda c: scan(step_fn, c, None, length=num_iterations)
+        # cache the compiled runner per iteration count so repeated solves
+        # (and warmup-then-timed benchmark loops) replay the same executable —
+        # the analog of Legion physical-trace replay
+        key = (num_iterations, use_jit)
+        run = self._solve_cache.get(key)
+        if run is None:
+            run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
+            if use_jit:
+                run = jax.jit(run)
+            self._solve_cache[key] = run
         (final_state, _), history = run(init)
         planner.load_state(final_state)
         full = jnp.concatenate([jnp.reshape(rr0, (1,)), history])

@@ -1,0 +1,141 @@
+"""GMRES(m) with restarts — Arnoldi via modified Gram-Schmidt + Givens solve.
+
+The Arnoldi process is a transcription of the reference's ``GMRESSolver<T>``
+(reference: GMRESSolver.hpp:15-129): workspace = restart+1 Krylov basis
+vectors at planner indices ``krylov_basis(i) = i + 2``, modified Gram-Schmidt
+with the Hessenberg entries carried as deferred Scalars, last basis vector
+left unnormalized.
+
+The least-squares update is NOT in the reference — it launches a DummyTask
+and uses the constant-1 future as every coefficient (GMRESSolver.hpp:109-126;
+its ``triangular_matrix``/``coefficients`` members are allocated but unused).
+Here the small (m+1) x m Hessenberg solve is implemented for real with Givens
+rotations on device: m is static, so the rotation loop unrolls into the same
+single jitted step as everything else and costs O(m^2) scalar flops.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..core.scalar import Scalar
+from ..planner import SquarePlanner
+
+
+def _least_squares_givens(H: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """Solve min_y || beta * e1 - H y ||_2 for the (m+1) x m Hessenberg H via
+    Givens rotations + back-substitution.  Zero subdiagonals (lucky breakdown)
+    and zero diagonals (stagnation) are guarded so the result stays finite."""
+    m = H.shape[1]
+    R = H
+    g = jnp.zeros(m + 1, dtype=H.dtype).at[0].set(beta)
+    for i in range(m):
+        a = R[i, i]
+        b = R[i + 1, i]
+        denom = jnp.sqrt(a * a + b * b)
+        safe = denom > 0
+        c = jnp.where(safe, a / jnp.where(safe, denom, 1), 1.0)
+        s = jnp.where(safe, b / jnp.where(safe, denom, 1), 0.0)
+        row_i = c * R[i, :] + s * R[i + 1, :]
+        row_i1 = -s * R[i, :] + c * R[i + 1, :]
+        R = R.at[i, :].set(row_i).at[i + 1, :].set(row_i1)
+        gi = c * g[i] + s * g[i + 1]
+        gi1 = -s * g[i] + c * g[i + 1]
+        g = g.at[i].set(gi).at[i + 1].set(gi1)
+    # back-substitution on the upper-triangular m x m block
+    y = jnp.zeros(m, dtype=H.dtype)
+    for i in range(m - 1, -1, -1):
+        resid = g[i] - jnp.dot(R[i, i + 1 :], y[i + 1 :]) if i + 1 < m else g[i]
+        diag = R[i, i]
+        y = y.at[i].set(jnp.where(jnp.abs(diag) > 0, resid / jnp.where(jnp.abs(diag) > 0, diag, 1), 0.0))
+    return y
+
+
+class GMRESSolver:
+    SOL = 0
+    RHS = 1
+
+    def __init__(self, planner: SquarePlanner, restart: int):
+        self.planner = planner
+        self.restart = int(restart)
+        planner.allocate_workspace(self.restart + 1)
+        self.inner_products: List[List[Scalar]] = [
+            [Scalar(jnp.zeros((), planner.options.entry_dtype))] * self.restart
+            for _ in range(self.restart + 1)
+        ]
+        self.residual_norm_squared: List[Scalar] = []
+        self._solve_cache = {}
+
+    def krylov_basis(self, i: int) -> int:
+        """reference: GMRESSolver.hpp:80-82."""
+        return i + 2
+
+    def step(self) -> None:
+        """One GMRES(m) cycle: residual, Arnoldi, least-squares update
+        (reference: GMRESSolver.hpp:84-127, with the real solve)."""
+        planner = self.planner
+        kb = self.krylov_basis
+        m = self.restart
+
+        # residual vector r = b - A x in basis slot 0
+        planner.matvec(kb(0), self.SOL)
+        planner.xpay(kb(0), Scalar(-1.0), self.RHS)
+        beta2 = planner.dot(kb(0), kb(0))
+        self.residual_norm_squared.append(beta2)
+        inv_norm = beta2.rsqrt()
+        planner.scal(kb(0), inv_norm)
+
+        # Arnoldi with modified Gram-Schmidt (reference: GMRESSolver.hpp:92-107)
+        dtype = planner.options.entry_dtype
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        for j in range(m):
+            planner.matvec(kb(j + 1), kb(j))
+            for k in range(j + 1):
+                h = planner.dot(kb(k), kb(j + 1))
+                self.inner_products[k][j] = h
+                H = H.at[k, j].set(h.value)
+                planner.axpy(kb(j + 1), -h, kb(k))
+            d = planner.dot(kb(j + 1), kb(j + 1))
+            h_last = d.sqrt()
+            self.inner_products[j + 1][j] = h_last
+            H = H.at[j + 1, j].set(h_last.value)
+            if j + 1 < m:
+                # guard lucky breakdown: a zero vector stays zero
+                safe = d.value > 0
+                scale = jnp.where(safe, 1.0 / jnp.sqrt(jnp.where(safe, d.value, 1)), 0.0)
+                planner.scal(kb(j + 1), Scalar(scale))
+
+        # real small dense solve (replaces the reference's DummyTask stub)
+        y = _least_squares_givens(H, beta2.sqrt().value)
+        for j in range(m):
+            planner.axpy(self.SOL, Scalar(y[j]), kb(j))
+
+    def solve(self, num_cycles: int, use_jit: bool = True) -> jnp.ndarray:
+        """Run ``num_cycles`` restart cycles as one scanned loop; returns the
+        ||r||^2 measured at the start of each cycle plus the final residual
+        (length num_cycles + 1)."""
+        planner = self.planner
+
+        def step_fn(state, _):
+            planner.load_state(state)
+            self.residual_norm_squared = []
+            self.step()
+            return planner.dump_state(), self.residual_norm_squared[0].value
+
+        key = (num_cycles, use_jit)
+        run = self._solve_cache.get(key)
+        if run is None:
+            run = lambda s: jax.lax.scan(step_fn, s, None, length=num_cycles)
+            if use_jit:
+                run = jax.jit(run)
+            self._solve_cache[key] = run
+        final_state, history = run(planner.dump_state())
+        planner.load_state(final_state)
+        # closing residual after the last cycle
+        planner.matvec(self.krylov_basis(0), self.SOL)
+        planner.xpay(self.krylov_basis(0), Scalar(-1.0), self.RHS)
+        rr_final = planner.dot(self.krylov_basis(0), self.krylov_basis(0)).value
+        return jnp.concatenate([history, jnp.reshape(rr_final, (1,))])

@@ -1,0 +1,70 @@
+"""Benchmark timing harness.
+
+TPU-native analog of the reference's fence-bracketed timing
+(reference: BenchmarkStencil.cpp:225-259: execution+mapping fences around
+``get_current_time_in_nanoseconds`` futures, warmup traces excluded).  On
+this stack the dispatch path to the chip may run through a relay with tens of
+milliseconds of fixed per-call latency, so all measurements are *marginal*:
+run a short and a long version of the same compiled loop and divide the
+difference — fixed costs (dispatch, fences, host sync) cancel exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+
+def time_call(f: Callable, *args, reps: int = 3) -> float:
+    """Best-of-``reps`` wall seconds for ``f(*args)``, forcing device
+    completion AND a host fetch (a lazy relay may ack block_until_ready
+    before execution finishes)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def marginal_seconds_per_iter(
+    run: Callable[[int], object], short: int, long: int, reps: int = 3
+) -> float:
+    """Marginal per-iteration wall time of ``run(num_iters)``; both lengths
+    must already be compiled (call them once beforehand)."""
+    t_short = time_call(run, short, reps=reps)
+    t_long = time_call(run, long, reps=reps)
+    return max((t_long - t_short) / (long - short), 1e-12)
+
+
+def measure_stream_bandwidth(n: int = 1 << 24, dtype=None) -> float:
+    """Measured streaming bytes/s via a marginal chained-axpy fori_loop
+    (3 arrays * 4 bytes touched per element per iteration).  This is the
+    in-situ HBM roofline used to normalize solver benchmarks."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    x = jax.random.uniform(jax.random.PRNGKey(0), (n,), dtype)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (n,), dtype)
+
+    def make(k):
+        @jax.jit
+        def chain(x, y):
+            body = lambda i, r: 0.999 * r + 0.001 * y
+            return jnp.sum(jax.lax.fori_loop(0, k, body, x))
+
+        return chain
+
+    k0, k1 = 100, 500
+    f0, f1 = make(k0), make(k1)
+    float(f0(x, y)), float(f1(x, y))  # compile both
+    per_iter = marginal_seconds_per_iter(
+        lambda k: (f0 if k == k0 else f1)(x, y), k0, k1
+    )
+    itemsize = jnp.dtype(dtype).itemsize
+    return 3 * itemsize * n / per_iter
