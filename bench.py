@@ -50,9 +50,13 @@ def main() -> None:
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
 
     init_state = planner.dump_state()
+    init_rr = solver.residual_norm_squared[-1]
 
     def run(iters):
-        planner.load_state(init_state)  # identical work every run
+        # identical work every run: restore vectors AND the residual scalar
+        # (a stale rr0 desynchronizes the CG recurrence -> divergence)
+        planner.load_state(init_state)
+        solver.residual_norm_squared = [init_rr]
         return solver.solve(iters)
 
     run(SHORT_ITERS), run(LONG_ITERS)  # compile both (cached scans)

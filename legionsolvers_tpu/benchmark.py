@@ -99,10 +99,18 @@ def main(argv=None) -> None:
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
 
     init_state = planner.dump_state()
+    init_scalars = {
+        k: list(getattr(solver, k))
+        for k in ("residual_norm_squared", "rho", "alpha", "omega")
+        if hasattr(solver, k)
+    }
     short = max(args.it // 5, 1)
 
     def run(iters):
+        # identical work every run: restore vectors AND solver scalar state
         planner.load_state(init_state)
+        for k, v in init_scalars.items():
+            setattr(solver, k, list(v))
         return solver.solve(iters)
 
     run(short), run(args.it)  # compile both lengths

@@ -1,0 +1,184 @@
+// Native host-side kernels for legionsolvers_tpu.
+//
+// TPU-native analog of the reference's C++ fill tasks and dependent
+// partitioning machinery (reference: src/StencilGenerator.cpp fill bodies,
+// src/ExampleSystems.cpp:250-470, and the preimage/image partition
+// computations in COOMatrix.cpp:57-141).  The device compute path is
+// JAX/XLA/Pallas; these routines are the *runtime around it*: O(nnz)
+// matrix-build loops (stencil COO generation, CSR row-pointer construction,
+// per-shard ELL packing with halo-slot column remapping) that run on the
+// host once per problem and would otherwise bottleneck large builds in
+// numpy.  OpenMP-parallel where profitable; exposed via a C ABI consumed by
+// ctypes (bindings.py), with a pure-numpy fallback when the shared library
+// is unavailable.
+//
+// Conventions: 64-bit row/col indices, row-major linearization (matches
+// reference linearize_row_major, StencilGenerator.hpp:231-243).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Stencil COO generation.
+//
+// shape[ndim]: grid extents; offsets[noff][ndim]; values[noff].
+// Emits one nonzero per (grid point, in-bounds offset), ordered row-major by
+// grid point with offsets in given order per point (then sorted by caller if
+// needed).  Returns the number of nonzeros written.  rows/cols/vals must
+// have capacity >= the exact stencil size (computed by stencil_size below).
+// ---------------------------------------------------------------------------
+
+int64_t stencil_size(
+    const int64_t* shape, int64_t ndim,
+    const int64_t* offsets, int64_t noff
+) {
+    // closed form: sum over offsets of prod_d max(n_d - |o_d|, 0)
+    // (reference computes this recursively: StencilGenerator.hpp:270-323)
+    int64_t total = 0;
+    for (int64_t k = 0; k < noff; ++k) {
+        int64_t cnt = 1;
+        for (int64_t d = 0; d < ndim; ++d) {
+            int64_t o = offsets[k * ndim + d];
+            int64_t c = shape[d] - (o < 0 ? -o : o);
+            cnt *= c > 0 ? c : 0;
+        }
+        total += cnt;
+    }
+    return total;
+}
+
+int64_t stencil_fill_coo(
+    const int64_t* shape, int64_t ndim,
+    const int64_t* offsets, const double* values, int64_t noff,
+    int64_t* rows, int64_t* cols, double* vals
+) {
+    // strides, row-major
+    std::vector<int64_t> stride(ndim, 1);
+    for (int64_t d = ndim - 2; d >= 0; --d) {
+        stride[d] = stride[d + 1] * shape[d + 1];
+    }
+    int64_t n = 1;
+    for (int64_t d = 0; d < ndim; ++d) { n *= shape[d]; }
+
+    std::vector<int64_t> lin_off(noff);
+    for (int64_t k = 0; k < noff; ++k) {
+        int64_t s = 0;
+        for (int64_t d = 0; d < ndim; ++d) {
+            s += offsets[k * ndim + d] * stride[d];
+        }
+        lin_off[k] = s;
+    }
+
+    // enumerate grid points in linear order; emit in-bounds offsets.
+    // (reference fill bodies enumerate the same way and skip to their
+    // owned kernel range: StencilGenerator.cpp:92-126)
+    std::vector<int64_t> coord(ndim, 0);
+    int64_t out = 0;
+    for (int64_t p = 0; p < n; ++p) {
+        for (int64_t k = 0; k < noff; ++k) {
+            bool ok = true;
+            for (int64_t d = 0; d < ndim; ++d) {
+                int64_t q = coord[d] + offsets[k * ndim + d];
+                if (q < 0 || q >= shape[d]) { ok = false; break; }
+            }
+            if (ok) {
+                rows[out] = p;
+                cols[out] = p + lin_off[k];
+                vals[out] = values[k];
+                ++out;
+            }
+        }
+        // increment mixed-radix coordinate (row-major: last dim fastest)
+        for (int64_t d = ndim - 1; d >= 0; --d) {
+            if (++coord[d] < shape[d]) break;
+            coord[d] = 0;
+        }
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// CSR indptr from sorted row indices (rows must be non-decreasing).
+// ---------------------------------------------------------------------------
+void build_indptr(
+    const int64_t* rows, int64_t nnz, int64_t n_rows, int64_t* indptr
+) {
+    std::memset(indptr, 0, sizeof(int64_t) * (n_rows + 1));
+    for (int64_t k = 0; k < nnz; ++k) { ++indptr[rows[k] + 1]; }
+    for (int64_t i = 0; i < n_rows; ++i) { indptr[i + 1] += indptr[i]; }
+}
+
+// ---------------------------------------------------------------------------
+// Per-shard ELL packing with halo-slot remapping.
+//
+// Input: this shard's kernel slice (rows_local in [0, B_r), cols global,
+// vals), the shard's domain block [d0, d0+B_d), and the sorted halo_global
+// array (columns outside the block this shard reads).  Output: ELL arrays
+// ell_cols[B_r * L], ell_vals[B_r * L] with columns remapped into the
+// extended-x coordinate system (own block, then halo slots, dump slot last),
+// padded slots carrying (dump, 0).
+//
+// This is the native core of RowPartitionedMatrix's build (the analog of
+// Legion materializing the kernel partition's instances).
+// ---------------------------------------------------------------------------
+void pack_ell_shard(
+    int64_t nnz,
+    const int64_t* rows_local,   // sorted ascending (stable within row)
+    const int64_t* cols_global,
+    const double* vals,
+    int64_t B_r, int64_t B_d, int64_t d0,
+    const int64_t* halo_global, int64_t n_halo,
+    int64_t L, int64_t dump,
+    int32_t* ell_cols, double* ell_vals
+) {
+    for (int64_t i = 0; i < B_r * L; ++i) {
+        ell_cols[i] = static_cast<int32_t>(dump);
+        ell_vals[i] = 0.0;
+    }
+    int64_t slot = 0;
+    int64_t prev_row = -1;
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t r = rows_local[k];
+        slot = (r == prev_row) ? slot + 1 : 0;
+        prev_row = r;
+        int64_t c = cols_global[k];
+        int64_t lc;
+        if (c >= d0 && c < d0 + B_d) {
+            lc = c - d0;
+        } else {
+            // binary search into sorted halo_global
+            const int64_t* lo = std::lower_bound(
+                halo_global, halo_global + n_halo, c
+            );
+            lc = B_d + (lo - halo_global);
+        }
+        ell_cols[r * L + slot] = static_cast<int32_t>(lc);
+        ell_vals[r * L + slot] = vals[k];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Block-partition ownership + halo discovery for one shard: collect the
+// sorted unique out-of-block columns (ghost image; the analog of
+// create_partition_by_image on the col field, COOMatrix.cpp:98-118).
+// Returns the halo count; halo_out must have capacity nnz.
+// ---------------------------------------------------------------------------
+int64_t shard_halo_columns(
+    int64_t nnz, const int64_t* cols_global,
+    int64_t d0, int64_t B_d,
+    int64_t* halo_out
+) {
+    int64_t m = 0;
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t c = cols_global[k];
+        if (c < d0 || c >= d0 + B_d) { halo_out[m++] = c; }
+    }
+    std::sort(halo_out, halo_out + m);
+    return std::unique(halo_out, halo_out + m) - halo_out;
+}
+
+}  // extern "C"

@@ -100,20 +100,29 @@ class RowPartitionedMatrix:
         idt = np.int32
         ell_cols = np.full((S, B_r, L), dump, dtype=idt)
         ell_vals = np.zeros((S, B_r, L), dtype=np.asarray(matrix.vals).dtype)
+        from ..native import pack_ell_shard as _native_pack
+
         for s in range(S):
             knz = kernel_pieces[s]
             lrows = (matrix.rows[knz] - s * B_r).astype(np.int64)
             gcols = matrix.cols[knz]
-            owners = domain_partition.owner_of(gcols)
-            local = owners == s
-            lcols = np.empty(len(gcols), dtype=np.int64)
-            lcols[local] = gcols[local] - s * B_d
-            hg = self.halo.halo_global[s]
-            lcols[~local] = B_d + np.searchsorted(hg, gcols[~local])
-            # slot position within each row (stable order by kernel index)
             order = np.argsort(lrows, kind="stable")
-            lr_s, lc_s = lrows[order], lcols[order]
+            lr_s, gc_s = lrows[order], gcols[order]
             vals_s = np.asarray(matrix.vals)[knz][order]
+            hg = self.halo.halo_global[s]
+            packed = _native_pack(
+                lr_s, gc_s, vals_s, B_r, B_d, s * B_d, hg, L, dump
+            )
+            if packed is not None:
+                ell_cols[s], ev = packed
+                ell_vals[s] = ev.astype(ell_vals.dtype)
+                continue
+            # numpy fallback: remap columns + slot within each row
+            owners = domain_partition.owner_of(gc_s)
+            local = owners == s
+            lc_s = np.empty(len(gc_s), dtype=np.int64)
+            lc_s[local] = gc_s[local] - s * B_d
+            lc_s[~local] = B_d + np.searchsorted(hg, gc_s[~local])
             starts = np.zeros(B_r + 1, dtype=np.int64)
             np.add.at(starts, lr_s + 1, 1)
             starts = np.cumsum(starts)

@@ -1,28 +1,37 @@
-"""Matrix-free DIA (diagonal) stencil operator — the TPU fast path.
+"""Matrix-free stencil operator — the TPU fast path.
 
 The reference's benchmark drives linearized-CSR stencil matrices through
 cuSPARSE (reference: BenchmarkStencil.cpp:24-137, CSRMatrixTasks.cu:14-156).
-A stencil matrix is exactly banded: every offset ``o`` contributes one
-diagonal at constant linearized distance ``sum_d o_d * stride_d`` whose value
-is the constant ``v`` masked at grid boundaries.  On TPU the idiomatic
-storage is therefore **no storage at all**: ``matvec`` is a sum of statically
-shifted, boundary-masked elementwise multiply-adds over the source vector —
-pure VPU work with O(n) HBM traffic (vs O(nnz) index+value traffic for
-CSR/ELL), which is the speed-of-light for this memory-bound operation.
+A stencil matrix is exactly banded, so on TPU the idiomatic storage is **no
+storage at all**: ``matvec`` is a sum of statically shifted, boundary-masked
+elementwise multiply-adds over the source vector — pure VPU work with O(n)
+HBM traffic (vs O(nnz) index+value traffic for CSR/ELL), the speed-of-light
+for this memory-bound operation.
 
-Distribution: the linearized index is block-sharded as usual; because the
-bandwidth is bounded by ``block_size`` (checked), halo exchange degenerates
-to two neighbor ``ppermute``s of fixed edge windows (the reference observes
-the same: stencil ghosts are the block edges +- bandwidth, SURVEY §5).
-Ring wraparound values are always killed by the boundary masks, so the edge
-shards need no special casing.
+Two execution paths, selected automatically:
 
-This operator plugs into the planner via ``add_operator`` and can also
-produce its explicit COO form for parity testing.
+* **Pallas path** (preferred, 1-D and 2-D grids): the local block is viewed
+  as a 2-D [rows, C] slab and processed by the double-buffered Pallas kernel
+  (``ops/pallas/stencil2d.py``), which streams each x tile into VMEM once
+  and forms all diagonal contributions there (~8 bytes/element total HBM
+  traffic).  1-D stencils map onto the same kernel via the flat-offset
+  decomposition; 2-D grids use their natural view.
+* **linearized path** (fallback, any dim/geometry): 1-D shifted slices with
+  integer-computed boundary masks, fused by XLA into a single pass that
+  re-reads x once per diagonal.
+
+Distribution: the linearized index is block-sharded; the stencil bandwidth
+is bounded by the block size (checked), so halo exchange is two neighbor
+``ppermute``s of fixed edge windows (the reference observes the same
+structure: stencil ghosts are the block edges +- bandwidth, SURVEY §5).
+Ring-wrapped windows at the global edges are zeroed (Pallas/grid view) or
+killed by the boundary masks (linearized view), so edge shards need no
+special casing.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -50,6 +59,7 @@ class StencilOperator:
         partition: Optional[BlockPartition] = None,
         mesh: Optional[Mesh] = None,
         options: SolverOptions = DEFAULT_OPTIONS,
+        use_pallas: Optional[bool] = None,
     ):
         self.shape = tuple(int(d) for d in shape)
         self.offsets = [(tuple(int(c) for c in o), float(v)) for o, v in offsets]
@@ -73,6 +83,11 @@ class StencilOperator:
                 f"stencil bandwidth {max(self.band_lo, self.band_hi)} exceeds "
                 f"block size {B}; use fewer pieces or a larger grid"
             )
+
+        if use_pallas is None:
+            use_pallas = not bool(int(os.environ.get("LEGIONSOLVERS_NO_PALLAS", "0")))
+        self._view = self._plan_pallas_view() if use_pallas else None
+        self._interpret = False  # decided at build time from the backend
         self._matvec_fn = None
 
     # -- interface parity ---------------------------------------------------
@@ -83,6 +98,10 @@ class StencilOperator:
     @property
     def n_range(self) -> int:
         return self.n
+
+    @property
+    def uses_pallas(self) -> bool:
+        return self._view is not None
 
     def nnz(self) -> int:
         from ..problems.stencil import calculate_stencil_size
@@ -95,10 +114,81 @@ class StencilOperator:
             self.shape, self.offsets, options=self.options
         )
 
-    # -- mask ---------------------------------------------------------------
+    # ======================================================================
+    # Pallas view planning
+    # ======================================================================
+    def _plan_pallas_view(self):
+        from ..ops.pallas.stencil2d import decompose_flat_offsets, supports
+
+        if self.partition.padded_size != self.n:
+            return None  # padded tail rows would need masking
+        if jnp.dtype(self.options.entry_dtype).itemsize != 4:
+            return None
+        B = self.partition.block_size
+        if len(self.shape) == 2:
+            C = self.shape[1]
+            if B % C:
+                return None
+            offs = tuple((o[0], o[1]) for o, _ in self.offsets)
+            vals = tuple(v for _, v in self.offsets)
+            Br = B // C
+            if supports(Br, C, offs):
+                return {"C": C, "Br": Br, "offs": offs, "vals": vals}
+            return None
+        if len(self.shape) == 1:
+            for C in (4096, 2048, 1024, 512, 256, 128):
+                if B % C == 0 and (B // C) >= 8:
+                    offs, vals = decompose_flat_offsets(
+                        self.lin_offsets, [v for _, v in self.offsets], C
+                    )
+                    if supports(B // C, C, offs):
+                        return {"C": C, "Br": B // C, "offs": offs, "vals": vals}
+            return None
+        return None  # 3-D needs mid-dim masks: future kernel revision
+
+    def _pallas_local(self, x_loc: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
+        from ..ops.pallas.stencil2d import grid2d_stencil_matvec
+
+        v = self._view
+        C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
+        S = self.partition.num_pieces
+        rlo = max(0, -min(dy for dy, _ in offs))
+        rhi = max(0, max(dy for dy, _ in offs))
+        xg = x_loc.reshape(Br, C)
+        dtype = xg.dtype
+
+        # kernel contract: [8, C] blocks, halo rows last-rlo (top) /
+        # first-rhi (bottom), zeros at the global grid edges
+        top = jnp.zeros((8, C), dtype)
+        bot = jnp.zeros((8, C), dtype)
+        if sharded and S > 1:
+            if rlo > 0:
+                t = jax.lax.ppermute(
+                    xg[Br - rlo :], SHARD_AXIS,
+                    [(i, (i + 1) % S) for i in range(S)],
+                )
+                is_first = jax.lax.axis_index(SHARD_AXIS) == 0
+                t = jnp.where(is_first, jnp.zeros_like(t), t)
+                top = top.at[8 - rlo :, :].set(t)
+            if rhi > 0:
+                h = jax.lax.ppermute(
+                    xg[:rhi], SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)]
+                )
+                is_last = jax.lax.axis_index(SHARD_AXIS) == S - 1
+                h = jnp.where(is_last, jnp.zeros_like(h), h)
+                bot = bot.at[:rhi, :].set(h)
+
+        y = grid2d_stencil_matvec(
+            xg, top, bot, offsets=offs, values=vals,
+            interpret=self._interpret,
+        )
+        return y.reshape(-1)
+
+    # ======================================================================
+    # linearized path: shifted 1-D slices + integer boundary masks
+    # ======================================================================
     def _diag_value(self, off: Tuple[int, ...], v: float, g: jnp.ndarray, dtype):
-        """The masked diagonal value at global linearized indices ``g``:
-        v where the point p(g) has p + off in bounds and g < n, else 0."""
+        """Masked diagonal value at global linearized indices ``g``."""
         m = g < self.n
         for d, o in enumerate(off):
             if o == 0:
@@ -107,9 +197,7 @@ class StencilOperator:
             m = m & (p_d + o >= 0) & (p_d + o < self.shape[d])
         return jnp.where(m, jnp.asarray(v, dtype), jnp.zeros((), dtype))
 
-    # -- matvec -------------------------------------------------------------
-    def _local_matvec(self, x_loc: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
-        """Compute this shard's y block from its x block + neighbor windows."""
+    def _linear_local(self, x_loc: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
         B = self.partition.block_size
         S = self.partition.num_pieces
         lo, hi = self.band_lo, self.band_hi
@@ -119,7 +207,6 @@ class StencilOperator:
         if lo > 0:
             tail = x_loc[B - lo :]
             if sharded and S > 1:
-                # receive the previous shard's tail (ring: src -> src+1)
                 tail = jax.lax.ppermute(
                     tail, SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)]
                 )
@@ -128,7 +215,6 @@ class StencilOperator:
         if hi > 0:
             head = x_loc[:hi]
             if sharded and S > 1:
-                # receive the next shard's head (ring: src -> src-1)
                 head = jax.lax.ppermute(
                     head, SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)]
                 )
@@ -147,46 +233,54 @@ class StencilOperator:
             y = y + dval * jax.lax.slice(x_ext, (lo + doff,), (lo + doff + B,))
         return y
 
+    def _local_matvec(self, x_loc: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
+        if self._view is not None:
+            return self._pallas_local(x_loc, sharded=sharded)
+        return self._linear_local(x_loc, sharded=sharded)
+
+    # ======================================================================
+    def _unsharded_multiblock(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Mesh-less simulation of the multi-piece linearized layout."""
+        B = self.partition.block_size
+        lo, hi = self.band_lo, self.band_hi
+        dtype = x.dtype
+        N = self.partition.padded_size
+        outs = []
+        for s in range(self.partition.num_pieces):
+            idx = (jnp.arange(s * B - lo, s * B + B + hi)) % N
+            x_ext = x[idx]
+            g = s * B + jnp.arange(
+                B, dtype=jnp.int64 if self.n > 2**31 else jnp.int32
+            )
+            y = jnp.zeros(B, dtype=dtype)
+            for (off, v), doff in zip(self.offsets, self.lin_offsets):
+                dval = self._diag_value(off, v, g, dtype)
+                y = y + dval * jax.lax.slice(x_ext, (lo + doff,), (lo + doff + B,))
+            outs.append(y)
+        return jnp.concatenate(outs)
+
     def _build(self):
-        if self.mesh is None or self.partition.num_pieces == 1:
-            if self.partition.num_pieces == 1:
-                return lambda x: self._local_matvec(x, sharded=False)
-
-            # unsharded simulation of the multi-piece layout
-            def unsharded(x):
-                return jnp.concatenate(
-                    [
-                        self._unsharded_block(x, sidx)
-                        for sidx in range(self.partition.num_pieces)
-                    ]
+        self._interpret = jax.default_backend() == "cpu"
+        S = self.partition.num_pieces
+        if S == 1:
+            return lambda x: self._local_matvec(x, sharded=False)
+        if self.mesh is None:
+            if self._view is not None:
+                # whole-problem single-block view (semantics identical)
+                op1 = StencilOperator(
+                    self.shape, self.offsets,
+                    partition=BlockPartition(self.n, 1),
+                    mesh=None, options=self.options,
                 )
-
-            return unsharded
-
-        f = jax.shard_map(
+                op1._interpret = self._interpret
+                return lambda x: op1._local_matvec(x, sharded=False)
+            return self._unsharded_multiblock
+        return jax.shard_map(
             lambda x: self._local_matvec(x, sharded=True),
             mesh=self.mesh,
             in_specs=(P(SHARD_AXIS),),
             out_specs=P(SHARD_AXIS),
         )
-        return f
-
-    def _unsharded_block(self, x: jnp.ndarray, s: int) -> jnp.ndarray:
-        """One block of the unsharded multi-piece layout (testing path)."""
-        B = self.partition.block_size
-        lo, hi = self.band_lo, self.band_hi
-        dtype = x.dtype
-        N = self.partition.padded_size
-        lo_idx = s * B - lo
-        # wrap-around reads land on masked entries, so plain rolls are safe
-        idx = (jnp.arange(lo_idx, s * B + B + hi)) % N
-        x_ext = x[idx]
-        g = s * B + jnp.arange(B, dtype=jnp.int64 if self.n > 2**31 else jnp.int32)
-        y = jnp.zeros(B, dtype=dtype)
-        for (off, v), doff in zip(self.offsets, self.lin_offsets):
-            dval = self._diag_value(off, v, g, dtype)
-            y = y + dval * jax.lax.slice(x_ext, (lo + doff,), (lo + doff + B,))
-        return y
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         if self._matvec_fn is None:

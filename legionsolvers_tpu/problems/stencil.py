@@ -60,12 +60,27 @@ def linear_offset(shape: Sequence[int], off: Offset) -> int:
 
 
 def stencil_coo_arrays(shape: Sequence[int], offsets: Stencil):
-    """Vectorized generation of (rows, cols, vals), sorted row-major by
-    (row, col) so COO and CSR agree on layout."""
+    """Generation of (rows, cols, vals), sorted row-major by (row, col) so
+    COO and CSR agree on layout.  Uses the native C++ fill loop when the
+    shared library is available (legionsolvers_tpu/native — the analog of
+    the reference's C++ fill tasks), vectorized numpy otherwise."""
     shape = tuple(int(n) for n in shape)
     if not (1 <= len(shape) <= MAX_DIM):
         raise ValueError(f"stencil dim must be 1..{MAX_DIM}, got {len(shape)}")
     n = int(np.prod(shape))
+
+    from ..native import stencil_fill_coo as _native_fill
+
+    res = _native_fill(
+        np.asarray(shape, np.int64),
+        np.asarray([o for o, _ in offsets], np.int64).reshape(len(offsets), -1),
+        np.asarray([v for _, v in offsets], np.float64),
+    )
+    if res is not None:
+        rows, cols, vals = res
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order], vals[order], n
+
     strides = _strides(shape)
     rows_l, cols_l, vals_l = [], [], []
     for off, val in offsets:
