@@ -52,25 +52,51 @@ class PartitionedVector:
         mesh: Optional[Mesh] = None,
         data: Optional[jnp.ndarray] = None,
         options: SolverOptions = DEFAULT_OPTIONS,
+        grid_shape: Optional[tuple] = None,
     ):
+        """``grid_shape``: optional N-D layout for the vector's data.  For
+        grid (stencil) problems, storing the vector in its natural grid shape
+        — sharded over the leading axis — avoids 1-D<->N-D relayout copies at
+        every operator boundary (TPU layouts for 1-D and N-D views of the
+        same values differ physically).  Requires prod(grid_shape) ==
+        padded_size == n (no padding) and grid_shape[0] divisible by the
+        piece count.  All BLAS-1 ops are elementwise, so they are
+        shape-agnostic; only fills and host transfers special-case."""
         self.name = name
         self.partition = partition
         self.mesh = mesh
         self.options = options
+        if grid_shape is not None:
+            grid_shape = tuple(int(d) for d in grid_shape)
+            if int(np.prod(grid_shape)) != partition.padded_size:
+                raise ValueError("grid_shape must cover padded_size exactly")
+            if partition.padded_size != partition.n:
+                raise ValueError("grid layout requires an unpadded partition")
+            if grid_shape[0] % partition.num_pieces:
+                raise ValueError(
+                    "grid_shape[0] must be divisible by the piece count"
+                )
+        self.grid_shape = grid_shape
         if data is None:
-            data = jnp.zeros(partition.padded_size, dtype=options.entry_dtype)
+            shape = grid_shape or (partition.padded_size,)
+            data = jnp.zeros(shape, dtype=options.entry_dtype)
             if mesh is not None:
-                data = jax.device_put(data, NamedSharding(mesh, P(SHARD_AXIS)))
+                data = jax.device_put(data, self.sharding)
         self.data = data
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        return (self.data,), (self.name, self.partition, self.mesh, self.options)
+        return (self.data,), (
+            self.name, self.partition, self.mesh, self.options, self.grid_shape,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        name, partition, mesh, options = aux
-        return cls(name, partition, mesh=mesh, data=leaves[0], options=options)
+        name, partition, mesh, options, grid_shape = aux
+        return cls(
+            name, partition, mesh=mesh, data=leaves[0], options=options,
+            grid_shape=grid_shape,
+        )
 
     # -- construction helpers ----------------------------------------------
     @property
@@ -79,13 +105,20 @@ class PartitionedVector:
 
     @property
     def sharding(self) -> Optional[NamedSharding]:
-        return NamedSharding(self.mesh, P(SHARD_AXIS)) if self.mesh else None
+        if self.mesh is None:
+            return None
+        if self.grid_shape is not None:
+            spec = P(SHARD_AXIS, *([None] * (len(self.grid_shape) - 1)))
+        else:
+            spec = P(SHARD_AXIS)
+        return NamedSharding(self.mesh, spec)
 
     def like(self, name: str) -> "PartitionedVector":
         """Fresh zero vector over the same partition/mesh (the analog of
         allocating another field over the same index partition)."""
         return PartitionedVector(
-            name, self.partition, mesh=self.mesh, options=self.options
+            name, self.partition, mesh=self.mesh, options=self.options,
+            grid_shape=self.grid_shape,
         )
 
     @classmethod
@@ -96,21 +129,29 @@ class PartitionedVector:
         partition: BlockPartition,
         mesh: Optional[Mesh] = None,
         options: SolverOptions = DEFAULT_OPTIONS,
+        grid_shape: Optional[tuple] = None,
     ) -> "PartitionedVector":
         """Build from a host array of length ``n`` (pads + shards)."""
-        values = np.asarray(values)
+        values = np.asarray(values).reshape(-1)
         if values.shape != (partition.n,):
             raise ValueError(f"expected shape ({partition.n},), got {values.shape}")
         padded = np.zeros(partition.padded_size, dtype=options.entry_dtype)
         padded[: partition.n] = values
-        data = jnp.asarray(padded)
+        v = cls(
+            name, partition, mesh=mesh, options=options, grid_shape=grid_shape,
+        )
+        data = jnp.asarray(padded.reshape(grid_shape) if grid_shape else padded)
         if mesh is not None:
-            data = jax.device_put(data, NamedSharding(mesh, P(SHARD_AXIS)))
-        return cls(name, partition, mesh=mesh, data=data, options=options)
+            data = jax.device_put(data, v.sharding)
+        v.data = data
+        return v
 
     # -- fills (reference: PartitionedVector.cpp:151-172) -------------------
     def constant_fill(self, value) -> "PartitionedVector":
-        self.data = blas1.masked_fill(self.data, value, self.n)
+        if self.grid_shape is not None:  # grid layout has no padding
+            self.data = jnp.full_like(self.data, value)
+        else:
+            self.data = blas1.masked_fill(self.data, value, self.n)
         return self
 
     def zero_fill(self) -> "PartitionedVector":
@@ -127,6 +168,8 @@ class PartitionedVector:
         )
         mask = jnp.arange(vals.shape[0]) < self.n
         vals = jnp.where(mask, vals, 0)
+        if self.grid_shape is not None:
+            vals = vals.reshape(self.grid_shape)
         if self.mesh is not None:
             vals = jax.lax.with_sharding_constraint(vals, self.sharding)
         self.data = vals
@@ -146,6 +189,7 @@ class PartitionedVector:
             mesh=self.mesh,
             data=self.data,
             options=self.options,
+            grid_shape=self.grid_shape,
         )
 
     # -- BLAS-1 (reference: PartitionedVector.cpp:196-358) ------------------
@@ -178,8 +222,8 @@ class PartitionedVector:
 
     # -- materialization ----------------------------------------------------
     def to_numpy(self) -> np.ndarray:
-        """Gather the true (unpadded) values to the host."""
-        return np.asarray(self.data)[: self.n]
+        """Gather the true (unpadded) values to the host, flattened."""
+        return np.asarray(self.data).reshape(-1)[: self.n]
 
     def print(self) -> None:
         """Debug dump (reference: PrintVectorTask path)."""

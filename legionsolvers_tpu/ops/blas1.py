@@ -41,8 +41,9 @@ def xpay(y: jnp.ndarray, alpha, x: jnp.ndarray) -> jnp.ndarray:
 def dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Return <x, y> as a 0-d array (reference: DotTask + future sum-reduction,
     LinearAlgebraTasks.cpp:147-175, PartitionedVector.cpp:337-358).  Under
-    SPMD this lowers to per-shard partial dots + an all-reduce over ICI."""
-    return jnp.dot(x, y, preferred_element_type=x.dtype)
+    SPMD this lowers to per-shard partial dots + an all-reduce over ICI.
+    Shape-agnostic (vectors may be stored in grid layout)."""
+    return jnp.sum(x * y, dtype=x.dtype)
 
 
 def norm2(x: jnp.ndarray) -> jnp.ndarray:

@@ -173,6 +173,7 @@ class RowPartitionedMatrix:
         self._B_d = B_d
         self._B_r = B_r
         self._matvec_sharded = None
+        self._rmatvec_sharded = None
 
     # ------------------------------------------------------------------
     @property
@@ -251,3 +252,73 @@ class RowPartitionedMatrix:
         """y += A @ x (reduction-accumulate form: the analog of the
         reference's sum-reduction output privileges, COOMatrixTasks.cpp:38-39)."""
         return y + self.matvec(x)
+
+    # ------------------------------------------------------------------
+    # Transpose matvec.  The reference leaves this unimplemented
+    # (COORmatvecTask / CSRRmatvecTask are assert(false) stubs,
+    # COOMatrixTasks.cpp:78-83, CSRMatrixTasks.cpp:95-100); here it is the
+    # exact adjoint of the forward halo schedule: scatter local
+    # contributions into the extended-x coordinate system, then ppermute
+    # each halo slot's partial sums BACK to the owning shard (reverse ring
+    # offsets) and accumulate.
+    # ------------------------------------------------------------------
+    def _local_rmatvec(self, x_blk, ell_cols, ell_vals, *sched):
+        S = self._S
+        B_d = self._B_d
+        x_loc = x_blk.reshape(-1)  # [B_r]
+        contrib = (ell_vals[0] * x_loc[:, None]).ravel()
+        c_ext = jnp.zeros(self.halo.ext_size, dtype=x_loc.dtype)
+        c_ext = c_ext.at[ell_cols[0].ravel()].add(contrib)
+        y = c_ext[:B_d]
+        n_off = len(self.halo.offsets)
+        for k, d in enumerate(self.halo.offsets):
+            sidx = sched[k].reshape(-1)
+            rpos = sched[n_off + k].reshape(-1)
+            # this shard's partial sums for rows owned by (s - d) % S
+            outgoing = c_ext[rpos]
+            perm = [(i, (i - d) % S) for i in range(S)]
+            incoming = jax.lax.ppermute(outgoing, SHARD_AXIS, perm)
+            y = y.at[sidx].add(incoming)
+        return y  # [B_d]
+
+    def rmatvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A^T @ x over padded sharded arrays (x over the range space,
+        result over the domain space)."""
+        if self.mesh is None:
+            from ..ops.spmv import rmatvec_coo
+
+            rows = jnp.asarray(self.matrix.rows, dtype=jnp.int32)
+            cols = jnp.asarray(self.matrix.cols, dtype=jnp.int32)
+            vals = jnp.asarray(
+                np.asarray(self.matrix.vals), dtype=self.options.entry_dtype
+            )
+            y = rmatvec_coo(
+                rows, cols, vals, x[: self.matrix.n_range], self.matrix.n_domain
+            )
+            out = jnp.zeros(
+                self.domain_partition.padded_size, dtype=y.dtype
+            )
+            return out.at[: self.matrix.n_domain].set(y)
+        if self._rmatvec_sharded is None:
+            n_off = len(self.halo.offsets)
+            specs2 = (P(SHARD_AXIS, None),) * (2 * n_off)
+            f = jax.shard_map(
+                self._local_rmatvec,
+                mesh=self.mesh,
+                in_specs=(
+                    P(SHARD_AXIS),
+                    P(SHARD_AXIS, None, None),
+                    P(SHARD_AXIS, None, None),
+                )
+                + specs2,
+                out_specs=P(SHARD_AXIS),
+            )
+
+            def rmatvec(x):
+                sched = tuple(
+                    self.send_idx[d] for d in self.halo.offsets
+                ) + tuple(self.recv_pos[d] for d in self.halo.offsets)
+                return f(x, self.ell_cols, self.ell_vals, *sched).reshape(-1)
+
+            self._rmatvec_sharded = rmatvec
+        return self._rmatvec_sharded(x)

@@ -69,3 +69,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def num_shards(mesh: Mesh) -> int:
     return mesh.shape[SHARD_AXIS]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (the analog of the reference's GASNet-EX
+    bootstrap under ``Legion::Runtime::start``, build_legion.py:94-96 +
+    jsrun launch, bench_all.py:44-67).  One jax process per host; after this,
+    ``jax.devices()`` spans all hosts and ``make_mesh()`` lays the shard
+    axis across them (ICI within a slice, DCN across).  Arguments default to
+    the standard cluster env vars (``JAX_COORDINATOR_ADDRESS`` etc.); no-op
+    when already initialized or single-process."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already initialized" not in str(e):
+            raise

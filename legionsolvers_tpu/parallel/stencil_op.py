@@ -146,7 +146,9 @@ class StencilOperator:
             return None
         return None  # 3-D needs mid-dim masks: future kernel revision
 
-    def _pallas_local(self, x_loc: jnp.ndarray, *, sharded: bool) -> jnp.ndarray:
+    def _pallas_local(
+        self, x_loc: jnp.ndarray, *, sharded: bool, with_dot: bool = False
+    ):
         from ..ops.pallas.stencil2d import grid2d_stencil_matvec
 
         v = self._view
@@ -154,7 +156,8 @@ class StencilOperator:
         S = self.partition.num_pieces
         rlo = max(0, -min(dy for dy, _ in offs))
         rhi = max(0, max(dy for dy, _ in offs))
-        xg = x_loc.reshape(Br, C)
+        was_flat = x_loc.ndim == 1
+        xg = x_loc.reshape(Br, C) if was_flat else x_loc
         dtype = xg.dtype
 
         # kernel contract: [8, C] blocks, halo rows last-rlo (top) /
@@ -178,11 +181,16 @@ class StencilOperator:
                 h = jnp.where(is_last, jnp.zeros_like(h), h)
                 bot = bot.at[:rhi, :].set(h)
 
-        y = grid2d_stencil_matvec(
+        out = grid2d_stencil_matvec(
             xg, top, bot, offsets=offs, values=vals,
-            interpret=self._interpret,
+            interpret=self._interpret, with_dot=with_dot,
         )
-        return y.reshape(-1)
+        if with_dot:
+            y, partial = out
+            if sharded and S > 1:
+                partial = jax.lax.psum(partial, SHARD_AXIS)
+            return (y.reshape(-1) if was_flat else y), partial
+        return out.reshape(-1) if was_flat else out
 
     # ======================================================================
     # linearized path: shifted 1-D slices + integer boundary masks
@@ -259,12 +267,32 @@ class StencilOperator:
             outs.append(y)
         return jnp.concatenate(outs)
 
-    def _build(self):
+    def _make_fn(self, *, grid_input: bool, with_dot: bool):
         self._interpret = jax.default_backend() == "cpu"
         S = self.partition.num_pieces
+        if grid_input and self._view is None:
+            raise ValueError("grid-layout input requires the Pallas view")
+
+        def local(x_loc, *, sharded):
+            if with_dot:
+                if self._view is not None:
+                    return self._pallas_local(
+                        x_loc, sharded=sharded, with_dot=True
+                    )
+                y = self._local_matvec(x_loc, sharded=sharded)
+                part = jnp.sum(x_loc * y, dtype=jnp.float32)
+                if sharded and S > 1:
+                    part = jax.lax.psum(part, SHARD_AXIS)
+                return y, part
+            return self._local_matvec(x_loc, sharded=sharded)
+
         if S == 1:
-            return lambda x: self._local_matvec(x, sharded=False)
+            return lambda x: local(x, sharded=False)
         if self.mesh is None:
+            if grid_input or with_dot:
+                raise ValueError(
+                    "grid/fused-dot input needs a mesh or a single piece"
+                )
             if self._view is not None:
                 # whole-problem single-block view (semantics identical)
                 op1 = StencilOperator(
@@ -275,17 +303,60 @@ class StencilOperator:
                 op1._interpret = self._interpret
                 return lambda x: op1._local_matvec(x, sharded=False)
             return self._unsharded_multiblock
+        ndim_in = len(self.shape) if grid_input else 1
+        data_spec = P(SHARD_AXIS, *([None] * (ndim_in - 1)))
+        out_specs = (data_spec, P()) if with_dot else data_spec
         return jax.shard_map(
-            lambda x: self._local_matvec(x, sharded=True),
+            lambda x: local(x, sharded=True),
             mesh=self.mesh,
-            in_specs=(P(SHARD_AXIS),),
-            out_specs=P(SHARD_AXIS),
+            in_specs=(data_spec,),
+            out_specs=out_specs,
+            # pallas_call's out_shape carries no varying-mesh-axes metadata;
+            # disable the vma check for this shard_map
+            check_vma=False,
         )
 
+    def _fn(self, x: jnp.ndarray, with_dot: bool):
+        grid_input = x.ndim > 1
+        if not hasattr(self, "_fns"):
+            self._fns = {}
+        key = (grid_input, with_dot)
+        if key not in self._fns:
+            self._fns[key] = self._make_fn(
+                grid_input=grid_input, with_dot=with_dot
+            )
+        return self._fns[key]
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self._matvec_fn is None:
-            self._matvec_fn = self._build()
-        return self._matvec_fn(x)
+        """y = A @ x.  ``x`` may be the flat padded layout or (when the
+        Pallas view is active) the natural grid layout — the result matches
+        the input layout."""
+        return self._fn(x, False)(x)
+
+    def matvec_dot(self, x: jnp.ndarray):
+        """(A @ x, <x, A x>) with the reduction fused into the SpMV kernel
+        where possible — used by CG to avoid re-reading p and q for the
+        alpha denominator."""
+        return self._fn(x, True)(x)
 
     def matvec_add(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         return y + self.matvec(x)
+
+    def transpose(self) -> "StencilOperator":
+        """A^T as a stencil operator: offset o with value v becomes offset -o
+        (A[p, p+o] = v  =>  A^T[q, q-o] = v).  Built lazily and cached."""
+        if not hasattr(self, "_transpose_op"):
+            self._transpose_op = StencilOperator(
+                self.shape,
+                [(tuple(-c for c in o), v) for o, v in self.offsets],
+                partition=self.partition,
+                mesh=self.mesh,
+                options=self.options,
+                use_pallas=self._view is not None,
+            )
+        return self._transpose_op
+
+    def rmatvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A^T @ x (the reference stubs transpose matvec entirely:
+        COOMatrixTasks.cpp:78-83)."""
+        return self.transpose().matvec(x)

@@ -41,6 +41,7 @@ class SquarePlanner:
         self.mesh = mesh
         self.options = options
         self.canonical_partitions: List[BlockPartition] = []
+        self.canonical_grid_shapes: List[Optional[tuple]] = []
         self.sol_vectors: List[PartitionedVector] = []
         self.rhs_vectors: List[PartitionedVector] = []
         self.workspace_vectors: List[List[PartitionedVector]] = []
@@ -53,10 +54,13 @@ class SquarePlanner:
         if len(self.canonical_partitions) > idx:
             if self.canonical_partitions[idx] != v.partition:
                 raise ValueError("vector partition disagrees with canonical")
+            if self.canonical_grid_shapes[idx] != v.grid_shape:
+                raise ValueError("vector layout disagrees with canonical")
         else:
             if len(self.canonical_partitions) != idx:
                 raise ValueError("sol/rhs vectors must be added alternately")
             self.canonical_partitions.append(v.partition)
+            self.canonical_grid_shapes.append(v.grid_shape)
 
     def add_sol_vector(self, v: PartitionedVector) -> int:
         if self.workspace_vectors:
@@ -93,6 +97,7 @@ class SquarePlanner:
                         self.canonical_partitions[i],
                         mesh=self.mesh,
                         options=self.options,
+                        grid_shape=self.canonical_grid_shapes[i],
                     )
                     for i in range(self.num_spaces)
                 ]
@@ -175,14 +180,61 @@ class SquarePlanner:
             total = total + p
         return Scalar(total)
 
+    def _operators_by_range(self):
+        by_range = {}
+        for dist, domain_index, range_index in self.row_partitioned_matrices:
+            by_range.setdefault(range_index, []).append((dist, domain_index))
+        return by_range
+
     def matvec(self, dst_idx: int, src_idx: int) -> None:
         """dst = sum over registered operators of A @ src, accumulated per
-        range space (reference: SquarePlanner.hpp:340-357)."""
-        self.zero_fill(dst_idx)
-        for dist, domain_index, range_index in self.row_partitioned_matrices:
-            dst = self.get_vector(dst_idx, range_index)
-            src = self.get_vector(src_idx, domain_index)
-            dst.data = dist.matvec_add(dst.data, src.data)
+        range space (reference: SquarePlanner.hpp:340-357 zero-fills then
+        reduces; here single-operator spaces assign directly, saving the
+        zero-fill + add passes)."""
+        by_range = self._operators_by_range()
+        for i in range(self.num_spaces):
+            dst = self.get_vector(dst_idx, i)
+            ops = by_range.get(i, [])
+            if not ops:
+                dst.zero_fill()
+                continue
+            first = True
+            for dist, domain_index in ops:
+                src = self.get_vector(src_idx, domain_index)
+                if first:
+                    dst.data = dist.matvec(src.data)
+                    first = False
+                else:
+                    dst.data = dist.matvec_add(dst.data, src.data)
+
+    def matvec_dot(self, dst_idx: int, src_idx: int) -> Scalar:
+        """dst = A src and return <src, dst> in one pass, fusing the
+        reduction into the SpMV kernel where the operator supports it
+        (StencilOperator.matvec_dot).  Falls back to matvec + dot."""
+        by_range = self._operators_by_range()
+        fusable = all(
+            len(ops) == 1
+            and hasattr(ops[0][0], "matvec_dot")
+            and ops[0][1] == rng  # square diagonal block: src space == dst
+            for rng, ops in by_range.items()
+        ) and len(by_range) == self.num_spaces
+        if not fusable:
+            self.matvec(dst_idx, src_idx)
+            return self.dot(src_idx, dst_idx)
+        total = None
+        for i in range(self.num_spaces):
+            dist, _ = by_range[i][0]
+            src = self.get_vector(src_idx, i)
+            dst = self.get_vector(dst_idx, i)
+            try:
+                y, part = dist.matvec_dot(src.data)
+            except ValueError:
+                self.matvec(dst_idx, src_idx)
+                return self.dot(src_idx, dst_idx)
+            dst.data = y
+            part = jnp.asarray(part, dtype=self.options.entry_dtype)
+            total = part if total is None else total + part
+        return Scalar(total)
 
     # -- functional state for scan-based solver loops ----------------------
     def dump_state(self) -> Dict:

@@ -70,39 +70,46 @@ class BiCGStabSolver:
         (length num_iterations + 1, starting with the initial residual)."""
         planner = self.planner
 
-        def step_fn(carry, _):
-            state, rho, alpha, omega = carry
+        def body(i, carry):
+            state, rho, alpha, omega, history = carry
             planner.load_state(state)
             self.rho = [Scalar(rho)]
             self.alpha = [Scalar(alpha)]
             self.omega = [Scalar(omega)]
             self.step()
             rr = self.residual_norm_squared().value
-            new_carry = (
+            history = history.at[i + 1].set(rr)
+            return (
                 planner.dump_state(),
                 self.rho[-1].value,
                 self.alpha[-1].value,
                 self.omega[-1].value,
+                history,
             )
-            return new_carry, rr
 
         rr0 = self.residual_norm_squared().value
-        init = (
-            planner.dump_state(),
-            self.rho[-1].value,
-            self.alpha[-1].value,
-            self.omega[-1].value,
-        )
+
+        # fori_loop + in-place history, not lax.scan (see CGSolver.solve)
+        def run_impl(state, scalars, rr0):
+            rho, alpha, omega = scalars
+            history = jnp.zeros(num_iterations + 1, dtype=jnp.asarray(rr0).dtype)
+            history = history.at[0].set(rr0)
+            return jax.lax.fori_loop(
+                0, num_iterations, body, (state, rho, alpha, omega, history)
+            )
+
         key = (num_iterations, use_jit)
         run = self._solve_cache.get(key)
         if run is None:
-            run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
-            if use_jit:
-                run = jax.jit(run)
+            run = jax.jit(run_impl) if use_jit else run_impl
             self._solve_cache[key] = run
-        (final_state, rho, alpha, omega), history = run(init)
+        final_state, rho, alpha, omega, history = run(
+            planner.dump_state(),
+            (self.rho[-1].value, self.alpha[-1].value, self.omega[-1].value),
+            rr0,
+        )
         planner.load_state(final_state)
         self.rho = [Scalar(rho)]
         self.alpha = [Scalar(alpha)]
         self.omega = [Scalar(omega)]
-        return jnp.concatenate([jnp.reshape(rr0, (1,)), history])
+        return history

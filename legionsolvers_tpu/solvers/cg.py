@@ -37,10 +37,11 @@ class CGSolver:
         self._solve_cache = {}
 
     def step(self) -> None:
-        """One CG iteration (reference: CGSolver.hpp:46-55)."""
+        """One CG iteration (reference: CGSolver.hpp:46-55).  The q = A p
+        product and the p.q reduction are fused into one kernel pass where
+        the operator supports it."""
         planner = self.planner
-        planner.matvec(self.Q, self.P)
-        p_norm = planner.dot(self.P, self.Q)
+        p_norm = planner.matvec_dot(self.Q, self.P)
         r_norm2_old = self.residual_norm_squared[-1]
         planner.axpy(self.SOL, r_norm2_old, p_norm, self.P)
         planner.axpy(self.R, Scalar(-1.0), r_norm2_old, p_norm, self.Q)
@@ -57,28 +58,36 @@ class CGSolver:
         """
         planner = self.planner
 
-        def step_fn(carry, _):
-            state, rr_old = carry
+        def body(i, carry):
+            state, rr_old, history = carry
             planner.load_state(state)
             self.residual_norm_squared = [Scalar(rr_old)]
             self.step()
             rr_new = self.residual_norm_squared[-1].value
-            return (planner.dump_state(), rr_new), rr_new
+            history = history.at[i + 1].set(rr_new)
+            return planner.dump_state(), rr_new, history
 
         rr0 = self.residual_norm_squared[-1].value
-        init = (planner.dump_state(), rr0)
+        # fori_loop with an in-place history buffer, not lax.scan: scan's
+        # carry double-buffering cannot alias across the Pallas custom-call
+        # boundary and costs an extra copy of every carried vector per
+        # iteration (measured ~0.2 ms at n=16.7M)
+        def run_impl(state, rr0):
+            history = jnp.zeros(num_iterations + 1, dtype=jnp.asarray(rr0).dtype)
+            history = history.at[0].set(rr0)
+            return jax.lax.fori_loop(
+                0, num_iterations, body, (state, rr0, history)
+            )
+
         # cache the compiled runner per iteration count so repeated solves
         # (and warmup-then-timed benchmark loops) replay the same executable —
         # the analog of Legion physical-trace replay
         key = (num_iterations, use_jit)
         run = self._solve_cache.get(key)
         if run is None:
-            run = lambda c: jax.lax.scan(step_fn, c, None, length=num_iterations)
-            if use_jit:
-                run = jax.jit(run)
+            run = jax.jit(run_impl) if use_jit else run_impl
             self._solve_cache[key] = run
-        (final_state, _), history = run(init)
+        final_state, _, history = run(planner.dump_state(), rr0)
         planner.load_state(final_state)
-        full = jnp.concatenate([jnp.reshape(rr0, (1,)), history])
-        self.residual_norm_squared = [Scalar(v) for v in full]
-        return full
+        self.residual_norm_squared = [Scalar(v) for v in history]
+        return history

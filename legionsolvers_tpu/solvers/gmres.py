@@ -119,18 +119,23 @@ class GMRESSolver:
         (length num_cycles + 1)."""
         planner = self.planner
 
-        def step_fn(state, _):
+        def body(i, carry):
+            state, history = carry
             planner.load_state(state)
             self.residual_norm_squared = []
             self.step()
-            return planner.dump_state(), self.residual_norm_squared[0].value
+            history = history.at[i].set(self.residual_norm_squared[0].value)
+            return planner.dump_state(), history
+
+        # fori_loop + in-place history, not lax.scan (see CGSolver.solve)
+        def run_impl(state):
+            history = jnp.zeros(num_cycles, dtype=planner.options.entry_dtype)
+            return jax.lax.fori_loop(0, num_cycles, body, (state, history))
 
         key = (num_cycles, use_jit)
         run = self._solve_cache.get(key)
         if run is None:
-            run = lambda s: jax.lax.scan(step_fn, s, None, length=num_cycles)
-            if use_jit:
-                run = jax.jit(run)
+            run = jax.jit(run_impl) if use_jit else run_impl
             self._solve_cache[key] = run
         final_state, history = run(planner.dump_state())
         planner.load_state(final_state)
