@@ -35,3 +35,4 @@ from .problems.stencil import (
 )
 
 __version__ = "0.1.0"
+from .solvers.pcg import PCGSolver, JacobiPreconditioner

@@ -32,13 +32,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_rows(R: int, C: int, itemsize: int, vmem_budget=10 * 2**20) -> int:
+PADC = 128  # column padding (one lane tile) on each side of the window
+
+
+def _pick_tile_rows(R: int, C: int, itemsize: int, vmem_budget=13 * 2**20) -> int:
     """Largest row tile (multiple of 8, dividing R) fitting the VMEM budget:
-    2 window slots + 1 output block + pipeline slack."""
+    2 column-padded window slots + 1 output block + pipeline slack."""
     best = 0
     tr = 8
     while tr <= min(R, 512):
-        if R % tr == 0 and 3 * (tr + 16) * C * itemsize <= vmem_budget:
+        need = (2 * (tr + 16) * (C + 2 * PADC) + tr * C) * itemsize
+        if R % tr == 0 and need <= vmem_budget:
             best = tr
         tr += 8
     return best
@@ -113,13 +117,15 @@ def grid2d_stencil_matvec(
     # rlo/rhi of them are read.
     PAD = 8
     W = TR + 2 * PAD
+    CW = C + 2 * PADC  # window width: zero pad columns make masks free
 
     def issue_window(j, x_hbm, win, sems):
-        """Start the 3-segment DMA for window j into slot j % 2."""
+        """Start the 3-segment DMA for window j into slot j % 2 (columns
+        land at [PADC, PADC + C); the pad columns stay zero)."""
         slot = jnp.asarray(j, jnp.int32) % 2
         pltpu.make_async_copy(
             x_hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
-            win.at[slot, pl.ds(PAD, TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
             sems.at[slot, 0],
         ).start()
         if rlo > 0:
@@ -127,7 +133,7 @@ def grid2d_stencil_matvec(
             def _():
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
-                    win.at[slot, pl.ds(0, PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
                     sems.at[slot, 1],
                 ).start()
         if rhi > 0:
@@ -135,21 +141,23 @@ def grid2d_stencil_matvec(
             def _():
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(pl.multiple_of((j + 1) * TR, 8), PAD), :],
-                    win.at[slot, pl.ds(PAD + TR, PAD), :],
+                    win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
                     sems.at[slot, 2],
                 ).start()
 
     def wait_window(j, x_hbm, win, sems):
         slot = jnp.asarray(j, jnp.int32) % 2
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, TR), :], win.at[slot, pl.ds(PAD, TR), :],
+            x_hbm.at[pl.ds(0, TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
             sems.at[slot, 0],
         ).wait()
         if rlo > 0:
             @pl.when(j > 0)
             def _():
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(0, PAD), :], win.at[slot, pl.ds(0, PAD), :],
+                    x_hbm.at[pl.ds(0, PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
                     sems.at[slot, 1],
                 ).wait()
         if rhi > 0:
@@ -157,7 +165,7 @@ def grid2d_stencil_matvec(
             def _():
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(0, PAD), :],
-                    win.at[slot, pl.ds(PAD + TR, PAD), :],
+                    win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
                     sems.at[slot, 2],
                 ).wait()
 
@@ -181,31 +189,49 @@ def grid2d_stencil_matvec(
         wait_window(i, x_hbm, win, sems)
         slot = jnp.asarray(i, jnp.int32) % 2
 
+        # zero the pad columns of both slots once (they are never written
+        # by the DMAs, and zero pads make column-boundary masking free)
+        @pl.when(i == 0)
+        def _():
+            for sl in (0, 1):
+                win[sl, :, 0:PADC] = jnp.zeros((W, PADC), dtype)
+                win[sl, :, PADC + C : CW] = jnp.zeros((W, PADC), dtype)
+
         # grid-edge halo rows from the provided blocks (full aligned 8-row
         # stores; the caller pads the halo blocks to PAD rows)
         if rlo > 0:
             @pl.when(i == 0)
             def _():
-                win[slot, 0:PAD, :] = top_ref[:, :]
+                win[slot, 0:PAD, PADC : PADC + C] = top_ref[:, :]
         if rhi > 0:
             @pl.when(i == nt - 1)
             def _():
-                win[slot, PAD + TR : PAD + TR + PAD, :] = bot_ref[:, :]
+                win[slot, PAD + TR : PAD + TR + PAD, PADC : PADC + C] = (
+                    bot_ref[:, :]
+                )
 
-        # Load the whole window once (aligned), then form row shifts as
-        # value-level slices (sublane shuffles) — sublane-unaligned *ref*
-        # accesses are rejected by Mosaic.
+        # Load the whole window once (aligned), then form shifts as
+        # value-level slices (sublane/lane shuffles) — sublane-unaligned
+        # *ref* accesses are rejected by Mosaic.  Offsets with |dx| <= PADC
+        # read straight from the zero-padded window (no masks); larger |dx|
+        # (flat 1-D decompositions) take the roll+mask path.
         wv = win[slot, :, :]
-        cids = jax.lax.broadcasted_iota(jnp.int32, (TR, C), 1)
+        cids = None
         acc = None
         for (dy, dx), v in zip(offsets, values):
-            rows = jax.lax.slice(wv, (PAD + dy, 0), (PAD + dy + TR, C))
-            if dx == 0:
-                sh = rows
+            if abs(dx) <= PADC:
+                sh = jax.lax.slice(
+                    wv, (PAD + dy, PADC + dx), (PAD + dy + TR, PADC + dx + C)
+                )
             else:
+                rows = jax.lax.slice(
+                    wv, (PAD + dy, PADC), (PAD + dy + TR, PADC + C)
+                )
                 # pltpu.roll needs a non-negative shift; (-dx) mod C is the
                 # same circular shift
                 rolled = pltpu.roll(rows, (-dx) % C, 1)
+                if cids is None:
+                    cids = jax.lax.broadcasted_iota(jnp.int32, (TR, C), 1)
                 valid = (cids >= -dx) & (cids < C - dx)
                 sh = jnp.where(valid, rolled, jnp.zeros((), dtype))
             term = jnp.asarray(v, dtype) * sh
@@ -214,7 +240,7 @@ def grid2d_stencil_matvec(
 
         if with_dot:
             part = jnp.sum(
-                (jax.lax.slice(wv, (PAD, 0), (PAD + TR, C)) * acc).astype(
+                (jax.lax.slice(wv, (PAD, PADC), (PAD + TR, PADC + C)) * acc).astype(
                     jnp.float32
                 )
             )
@@ -246,7 +272,7 @@ def grid2d_stencil_matvec(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, W, C), dtype),
+            pltpu.VMEM((2, W, CW), dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
