@@ -11,8 +11,10 @@ operator, and prints ONE JSON line:
 
 The reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
 is the fraction of the *measured* HBM streaming speed-of-light for a full CG
-iteration: a CG iteration on the DIA path moves ~56 bytes/unknown (matvec 8,
-dots 8, axpy/xpay/axpy 36, second dot fused 4).  1.0 = memory-bound optimum.
+iteration.  On the fused two-pass Pallas path an iteration moves 32
+bytes/unknown (xpay+pq pass: read r + p, write p = 12; update pass: read
+p/x/r, write x/r = 20; q = A p never touches HBM); the classic schedule
+moves 48.  1.0 = memory-bound optimum at the schedule actually used.
 
 Timing is marginal (short vs long compiled runs) to cancel the dispatch
 relay's fixed latency — see legionsolvers_tpu/utils/timing.py.
@@ -29,7 +31,6 @@ import numpy as np
 N_GRID = 4096            # 2-D grid edge -> n = 16.7M unknowns
 SHORT_ITERS = 50
 LONG_ITERS = 250         # marginal window: 200 iterations (reference count)
-BYTES_PER_UNKNOWN_PER_ITER = 56.0
 
 
 def main() -> None:
@@ -45,6 +46,9 @@ def main() -> None:
     solver = CGSolver(planner)
     n = N_GRID * N_GRID
     nnz = 5 * N_GRID * N_GRID - 4 * N_GRID  # 5-pt stencil exact nnz
+    fused = solver._make_fused_runner(SHORT_ITERS) is not None
+    bytes_per_unknown = 32.0 if fused else 48.0
+    print(f"[bench] fused-CG path: {fused}", file=sys.stderr)
 
     bw = measure_stream_bandwidth(n)
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
@@ -68,7 +72,7 @@ def main() -> None:
 
     ms_per_iter = sec_per_iter * 1e3
     nnz_per_s = nnz / sec_per_iter
-    sol_ms = BYTES_PER_UNKNOWN_PER_ITER * n / bw * 1e3
+    sol_ms = bytes_per_unknown * n / bw * 1e3
     vs_baseline = sol_ms / ms_per_iter  # fraction of speed-of-light
 
     print(

@@ -49,14 +49,50 @@ class CGSolver:
         self.residual_norm_squared.append(r_norm2_new)
         planner.xpay(self.P, r_norm2_new, r_norm2_old, self.R)
 
+    def _make_fused_runner(self, num_iterations: int):
+        """Fused whole-iteration runner when the system is a single space
+        driven by one diagonal-block operator that supports it (the
+        matrix-free StencilOperator's two-pass Pallas CG, 32 B/unknown/iter).
+        Returns None when the topology doesn't allow fusion."""
+        planner = self.planner
+        if planner.num_spaces != 1 or len(planner.row_partitioned_matrices) != 1:
+            return None
+        op, di, ri = planner.row_partitioned_matrices[0]
+        if di != 0 or ri != 0:
+            return None
+        if not getattr(op, "supports_fused_cg", False):
+            return None
+        return op.make_fused_cg_runner(num_iterations)
+
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
         """Run ``num_iterations`` steps as one compiled ``lax.scan`` loop.
 
         Returns the residual² history of length ``num_iterations + 1``
         (matching Test05's printed output, Test05COOSolveCG.cpp:84-89) and
         leaves the planner holding the final vectors.
+
+        When the planner topology allows it, iterations run on the fused
+        two-pass Pallas path (q = A p never touches HBM); the Q workspace
+        vector is then left untouched rather than holding the last A p.
         """
         planner = self.planner
+        if use_jit and num_iterations >= 1:
+            fkey = (num_iterations, "fused")
+            if fkey not in self._solve_cache:
+                self._solve_cache[fkey] = self._make_fused_runner(
+                    num_iterations
+                )
+            frun = self._solve_cache[fkey]
+            if frun is not None:
+                x = planner.get_vector(self.SOL, 0)
+                r = planner.get_vector(self.R, 0)
+                p = planner.get_vector(self.P, 0)
+                rr0 = self.residual_norm_squared[-1].value
+                x.data, r.data, p.data, history = frun(
+                    x.data, r.data, p.data, rr0
+                )
+                self.residual_norm_squared = [Scalar(v) for v in history]
+                return history
 
         def body(i, carry):
             state, rr_old, history = carry

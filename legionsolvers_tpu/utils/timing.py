@@ -45,7 +45,12 @@ def marginal_seconds_per_iter(
 def measure_stream_bandwidth(n: int = 1 << 24, dtype=None) -> float:
     """Measured streaming bytes/s via a marginal chained-axpy fori_loop
     (3 arrays * 4 bytes touched per element per iteration).  This is the
-    in-situ HBM roofline used to normalize solver benchmarks."""
+    in-situ HBM roofline used to normalize solver benchmarks.
+
+    The axpy coefficient depends on the loop index: a constant-coefficient
+    chain is a linear recurrence XLA can unroll-and-fold into fewer passes,
+    which over-reports bandwidth ~3x (observed 2428 GB/s on an 819 GB/s
+    v5e chip).  The index-dependent coefficient defeats that folding."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -55,7 +60,10 @@ def measure_stream_bandwidth(n: int = 1 << 24, dtype=None) -> float:
     def make(k):
         @jax.jit
         def chain(x, y):
-            body = lambda i, r: 0.999 * r + 0.001 * y
+            def body(i, r):
+                c = (0.5 + 1e-6 * i).astype(dtype)
+                return c * r + 0.001 * y
+
             return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
         return chain

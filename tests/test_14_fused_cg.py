@@ -1,0 +1,122 @@
+"""Fused-CG Pallas path tests (interpret mode on CPU).
+
+The fused path runs each CG iteration as two Pallas passes (xpay+pq, then
+the x/r update with A p formed in VMEM only) — 32 B/unknown/iteration vs 48
+for the classic schedule.  It must be an exact continuation of standard CG:
+same residual² trajectory and solution as the generic planner path (the
+reference's iteration structure, CGSolver.hpp:46-55), both unsharded and
+sharded, and composable with prior plain step() calls.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legionsolvers_tpu import (
+    BlockPartition,
+    CGSolver,
+    PartitionedVector,
+    SolverOptions,
+    SquarePlanner,
+    StencilOperator,
+    laplacian_stencil,
+)
+
+F32 = SolverOptions(entry_dtype=jnp.float32)
+
+
+def build(shape, pieces, mesh, grid=True):
+    n = int(np.prod(shape))
+    part = BlockPartition(n, pieces)
+    op = StencilOperator(
+        shape, laplacian_stencil(len(shape)), partition=part, mesh=mesh,
+        options=F32,
+    )
+    gs = shape if grid and len(shape) == 2 else None
+    rhs = PartitionedVector("rhs", part, mesh=mesh, options=F32, grid_shape=gs)
+    rhs.constant_fill(1.0)
+    sol = PartitionedVector("sol", part, mesh=mesh, options=F32, grid_shape=gs)
+    sol.zero_fill()
+    planner = SquarePlanner(mesh=mesh, options=F32)
+    planner.add_sol_vector(sol)
+    planner.add_rhs_vector(rhs)
+    planner.add_operator(op, 0, 0)
+    return planner, op
+
+
+def solve_pair(shape, pieces, mesh, iters, grid=True):
+    """(generic history/x, fused history/x) on identical systems."""
+    pg, _ = build(shape, pieces, mesh, grid)
+    sg = CGSolver(pg)
+    sg._make_fused_runner = lambda k: None  # force the generic path
+    hg = np.asarray(sg.solve(iters))
+
+    pf, op = build(shape, pieces, mesh, grid)
+    assert op.supports_fused_cg
+    sf = CGSolver(pf)
+    assert sf._solve_cache == {}
+    hf = np.asarray(sf.solve(iters))
+    assert sf._solve_cache[(iters, "fused")] is not None  # fused was taken
+    return hg, pg.sol_vectors[0].to_numpy(), hf, pf.sol_vectors[0].to_numpy()
+
+
+@pytest.mark.parametrize("pieces,use_mesh", [(1, False), (4, True)])
+def test_fused_cg_matches_generic_2d(pieces, use_mesh, mesh4):
+    mesh = mesh4 if use_mesh else None
+    hg, xg, hf, xf = solve_pair((64, 128), pieces, mesh, 8)
+    np.testing.assert_allclose(hf, hg, rtol=1e-4)
+    np.testing.assert_allclose(xf, xg, rtol=1e-3, atol=1e-6)
+
+
+def test_fused_cg_flat_layout_1d(mesh4):
+    """1-D problems reach the fused path through the flat-offset
+    decomposition onto the 2-D kernel."""
+    hg, xg, hf, xf = solve_pair((128 * 64,), 4, mesh4, 6, grid=False)
+    np.testing.assert_allclose(hf, hg, rtol=1e-4)
+    np.testing.assert_allclose(xf, xg, rtol=1e-3, atol=1e-6)
+
+
+def test_fused_cg_is_exact_continuation():
+    """step() twice, then fused solve: trajectory must continue the same CG
+    (the fused prologue uses the incoming p, not a restart)."""
+    planner, op = build((64, 128), 1, None)
+    assert op.supports_fused_cg
+    solver = CGSolver(planner)
+    solver.step()
+    solver.step()
+    pre = [float(s.value) for s in solver.residual_norm_squared]
+    hist = np.asarray(solver.solve(4))
+    assert np.isclose(hist[0], pre[-1], rtol=1e-6)
+
+    planner2, _ = build((64, 128), 1, None)
+    solver2 = CGSolver(planner2)
+    solver2._make_fused_runner = lambda k: None
+    h2 = np.asarray(solver2.solve(6))
+    np.testing.assert_allclose(
+        np.concatenate([pre[:-1], hist]), h2, rtol=1e-4
+    )
+
+
+def test_fused_not_used_for_multi_space(mesh4):
+    """Block systems (2 spaces, the reference's BenchmarkStencil stress
+    config) must fall back to the generic path."""
+    part = BlockPartition(64 * 128, 4)
+    op = StencilOperator(
+        (64, 128), laplacian_stencil(2), partition=part, mesh=mesh4,
+        options=F32,
+    )
+    planner = SquarePlanner(mesh=mesh4, options=F32)
+    for _ in range(2):
+        sol = PartitionedVector("s", part, mesh=mesh4, options=F32)
+        sol.zero_fill()
+        planner.add_sol_vector(sol)
+    for _ in range(2):
+        rhs = PartitionedVector("b", part, mesh=mesh4, options=F32)
+        rhs.constant_fill(1.0)
+        planner.add_rhs_vector(rhs)
+    planner.add_operator(op, 0, 0)
+    planner.add_operator(op, 1, 1)
+    solver = CGSolver(planner)
+    assert solver._make_fused_runner(4) is None
+    hist = np.asarray(solver.solve(4))
+    assert hist.shape == (5,) and hist[0] == 2 * 64 * 128
