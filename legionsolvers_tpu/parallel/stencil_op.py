@@ -382,6 +382,11 @@ class StencilOperator:
         inputs may be flat padded blocks or grid layout.  q = A p is never
         materialized in HBM.
         """
+        if num_iterations < 1:
+            raise ValueError("fused CG runner needs at least one iteration")
+        if self._view is None:
+            return self._make_jnp_cg_runner(num_iterations)
+
         from ..ops.pallas.stencil2d import (
             grid2d_cg_pq,
             grid2d_cg_update,
@@ -470,8 +475,6 @@ class StencilOperator:
                 x, r, p = (a.reshape(-1) for a in (x, r, p))
             return x, r, p, hist
 
-        if num_iterations < 1:
-            raise ValueError("fused CG runner needs at least one iteration")
         if not sharded:
             return jax.jit(local_run)
 
@@ -494,6 +497,55 @@ class StencilOperator:
             return fn(x, r, p, jnp.asarray(rr0, jnp.float32))
 
         return runner
+
+    def _make_jnp_cg_runner(self, num_iterations: int):
+        """Fallback whole-loop CG runner for geometries/dtypes without the
+        Pallas view (3-D grids, fp64 goldens, padded tails): the classic
+        6-op schedule with the matvec recomputed per iteration, compiled as
+        one ``fori_loop`` so dispatch overhead is amortized exactly like the
+        Pallas path.  Arithmetic order matches ``CGSolver.step`` (the
+        reference recurrence, CGSolver.hpp:46-55), so the fp64 golden
+        trajectory is preserved bit-for-bit."""
+        S = self.partition.num_pieces
+        sharded = S > 1
+
+        def ldot(a, b):
+            s = jnp.sum(a * b)
+            return jax.lax.psum(s, SHARD_AXIS) if sharded else s
+
+        def body(i, carry):
+            x, r, p, rr, hist = carry
+            q = self._local_matvec(p, sharded=sharded)
+            pq = ldot(p, q)
+            alpha = rr / pq
+            x = x + alpha * p
+            r = r - alpha * q
+            rr_new = ldot(r, r)
+            hist = hist.at[i + 1].set(rr_new)
+            p = r + (rr_new / rr) * p
+            return x, r, p, rr_new, hist
+
+        def local_run(x, r, p, rr0):
+            rr0 = jnp.asarray(rr0, x.dtype)
+            hist = jnp.zeros(num_iterations + 1, x.dtype).at[0].set(rr0)
+            x, r, p, _, hist = jax.lax.fori_loop(
+                0, num_iterations, body, (x, r, p, rr0, hist)
+            )
+            return x, r, p, hist
+
+        if not sharded:
+            return jax.jit(local_run)
+
+        spec = P(SHARD_AXIS)
+        return jax.jit(
+            jax.shard_map(
+                local_run,
+                mesh=self.mesh,
+                in_specs=(spec, spec, spec, P()),
+                out_specs=(spec, spec, spec, P()),
+                check_vma=False,
+            )
+        )
 
     def transpose(self) -> "StencilOperator":
         """A^T as a stencil operator: offset o with value v becomes offset -o
