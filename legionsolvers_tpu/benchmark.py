@@ -41,12 +41,17 @@ def build_planner(args, mesh, options):
 
     planner = SquarePlanner(mesh=mesh, options=options)
     num_spaces = 2 if args.block else 1
+    # grid-native vector storage when the Pallas view is active: avoids
+    # 1-D<->N-D relayout copies at every operator boundary
+    gs = shape if op.uses_pallas else None
     for i in range(num_spaces):
-        sol = PartitionedVector(f"sol{i}", part, mesh=mesh, options=options)
+        sol = PartitionedVector(f"sol{i}", part, mesh=mesh, options=options,
+                                grid_shape=gs)
         sol.zero_fill()
         planner.add_sol_vector(sol)
     for i in range(num_spaces):
-        rhs = PartitionedVector(f"rhs{i}", part, mesh=mesh, options=options)
+        rhs = PartitionedVector(f"rhs{i}", part, mesh=mesh, options=options,
+                                grid_shape=gs)
         rhs.constant_fill(1.0)
         planner.add_rhs_vector(rhs)
     for i in range(num_spaces):

@@ -1,0 +1,295 @@
+"""Pallas TPU kernel: 3-D grid stencil SpMV (plane-streaming).
+
+Covers the reference benchmark's 3-D cases — the 7-point and 27-point
+Laplacians (reference: test/BenchmarkStencil.cpp:24-137 builds them as
+linearized-CSR matrices for cuSPARSE; here the operator stays matrix-free).
+
+Structure: the local [X, Y, Z] block streams through VMEM one x-plane at a
+time.  A rotating 4-slot buffer holds the padded planes x-1, x, x+1 (plus the
+in-flight lookahead DMA), so every element of x is read from HBM exactly once
+and every stencil offset (ox, oy, oz) with |ox| <= 1 becomes a value-level
+slice of a resident plane:
+
+* ox  -> plane slot selection (halo planes supply the block edges: zeros at
+         the global grid boundary, the neighbor's edge plane when sharded);
+* oy  -> row shift into the plane's zero-padded 8-row top/bottom margin;
+* oz  -> lane shift into the plane's zero-padded 128-column margins.
+
+Modes mirror ``stencil2d._stencil_call``:
+
+* ``mode="y"``     : y = A x                (8 B/elt: read x, write y)
+* ``mode="y_dot"`` : y = A x and <x, A x>   (8 B/elt)
+* ``mode="pq"``    : <x, A x> only; A x never leaves VMEM (4 B/elt)
+* ``mode="update"``: x' = x + alpha p, r' = r - alpha (A p), rr = <r', r'>
+                     with A p formed in VMEM (20 B/elt)
+
+Geometry requirements: Z a multiple of 128, |oy| <= 8, |oz| <= 128, and the
+padded-plane working set must fit the VMEM budget (checked by
+:func:`supports3d`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PADY = 8    # zero-padded rows above/below each resident plane
+PADZ = 128  # zero-padded lanes left/right of each resident plane
+_VMEM_LIMIT = 64 * 2**20
+_VMEM_BUDGET = 40 * 2**20
+
+_N_STREAMS = {"y": 1, "y_dot": 1, "pq": 0, "update": 4}
+
+
+def _plane_bytes(Y: int, Z: int, itemsize: int) -> int:
+    return (Y + 2 * PADY) * (Z + 2 * PADZ) * itemsize
+
+
+def supports3d(
+    Y: int, Z: int, offsets, itemsize: int = 4, n_streams: int = 4
+) -> bool:
+    """Whether the plane-streaming kernel handles this geometry.
+    ``n_streams=4`` (update mode) guarantees every mode fits."""
+    if Z % 128 != 0 or Y < 1:
+        return False
+    if not all(
+        abs(ox) <= 1 and abs(oy) <= PADY and abs(oz) <= PADZ
+        for ox, oy, oz in offsets
+    ):
+        return False
+    # 4 buffer slots + ~3 plane-sized compute temporaries + the pipelined
+    # [1, Y, Z] streams (double-buffered by the pipeline)
+    need = (4 + 3) * _plane_bytes(Y, Z, itemsize)
+    need += (2 * n_streams + 2) * Y * Z * itemsize
+    return need <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "values", "mode", "interpret"),
+)
+def _stencil3d_call(
+    x: jnp.ndarray,
+    halo_top: jnp.ndarray,
+    halo_bot: jnp.ndarray,
+    extra: tuple,
+    *,
+    offsets: Tuple[Tuple[int, int, int], ...],
+    values: Tuple[float, ...],
+    mode: str = "y",
+    interpret: bool = False,
+):
+    """Shared 3-D kernel driver.  ``x`` is the local [X, Y, Z] block;
+    ``halo_top``/``halo_bot`` are [Y, Z] planes holding the x-neighbors of
+    the first/last local plane (zeros at the global grid edges).  ``extra``
+    is () except for mode="update": (xv, rv, alpha)."""
+    X, Y, Z = x.shape
+    dtype = x.dtype
+    if Z % 128 != 0:
+        raise ValueError(f"Z={Z} must be a multiple of 128")
+    if not all(abs(o[0]) <= 1 for o in offsets):
+        raise ValueError("plane-streaming kernel requires |ox| <= 1")
+    nt = X
+    YP, ZP = Y + 2 * PADY, Z + 2 * PADZ
+
+    def issue_plane(j, x_hbm, buf, sems):
+        slot = jnp.asarray(j, jnp.int32) % 4
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(j, 1), :, :],
+            buf.at[pl.ds(slot, 1), pl.ds(PADY, Y), pl.ds(PADZ, Z)],
+            sems.at[slot],
+        ).start()
+
+    def wait_plane(j, x_hbm, buf, sems):
+        slot = jnp.asarray(j, jnp.int32) % 4
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, 1), :, :],
+            buf.at[pl.ds(slot, 1), pl.ds(PADY, Y), pl.ds(PADZ, Z)],
+            sems.at[slot],
+        ).wait()
+
+    def kernel(x_hbm, top_ref, bot_ref, *rest):
+        if mode == "y":
+            (y_ref, buf, sems) = rest
+        elif mode == "y_dot":
+            (y_ref, dot_ref, buf, sems) = rest
+        elif mode == "pq":
+            (dot_ref, buf, sems) = rest
+        else:  # update
+            (xv_ref, rv_ref, alpha_ref,
+             xo_ref, ro_ref, rr_ref, buf, sems) = rest
+        i = pl.program_id(0)
+
+        # pipeline: plane i+2 streams in while plane i is computed
+        @pl.when(i == 0)
+        def _():
+            issue_plane(0, x_hbm, buf, sems)
+            if nt > 1:
+                issue_plane(1, x_hbm, buf, sems)
+
+        @pl.when(i + 2 < nt)
+        def _():
+            issue_plane(i + 2, x_hbm, buf, sems)
+
+        @pl.when(i == 0)
+        def _():
+            # zero the pad margins of all slots once; DMAs only ever write
+            # the [PADY:PADY+Y, PADZ:PADZ+Z] interior
+            for sl in range(4):
+                buf[sl, 0:PADY, :] = jnp.zeros((PADY, ZP), dtype)
+                buf[sl, PADY + Y :, :] = jnp.zeros((PADY, ZP), dtype)
+                buf[sl, :, 0:PADZ] = jnp.zeros((YP, PADZ), dtype)
+                buf[sl, :, PADZ + Z :] = jnp.zeros((YP, PADZ), dtype)
+            # halo planes: plane -1 lives in slot 3 = (-1) % 4.  Slot 3 is
+            # not DMA'd until plane 3 (issued at step 1), and plane -1 is
+            # only read at step 0, so there is no conflict.
+            buf[3, PADY : PADY + Y, PADZ : PADZ + Z] = top_ref[:, :]
+            wait_plane(0, x_hbm, buf, sems)
+
+        @pl.when(i == nt - 1)
+        def _():
+            # plane nt -> slot nt % 4 (static), whose previous tenant (plane
+            # nt - 4) is dead by now; the slot's last DMA (plane nt - 4) was
+            # waited at step nt - 4 <= nt - 1
+            buf[nt % 4, PADY : PADY + Y, PADZ : PADZ + Z] = bot_ref[:, :]
+
+        @pl.when(i + 1 < nt)
+        def _():
+            wait_plane(i + 1, x_hbm, buf, sems)
+
+        # resident planes for this step
+        sm1 = (i - 1) % 4
+        s0 = i % 4
+        sp1 = (i + 1) % 4
+        planes = {-1: buf[sm1, :, :], 0: buf[s0, :, :], 1: buf[sp1, :, :]}
+
+        acc = None
+        for (ox, oy, oz), v in zip(offsets, values):
+            sh = jax.lax.slice(
+                planes[ox], (PADY + oy, PADZ + oz), (PADY + oy + Y, PADZ + oz + Z)
+            )
+            term = jnp.asarray(v, dtype) * sh
+            acc = term if acc is None else acc + term
+
+        def accum_scalar(ref, part):
+            @pl.when(i == 0)
+            def _():
+                ref[0, 0] = part
+
+            @pl.when(i > 0)
+            def _():
+                ref[0, 0] = ref[0, 0] + part
+
+        body = lambda: jax.lax.slice(
+            planes[0], (PADY, PADZ), (PADY + Y, PADZ + Z)
+        )
+        if mode in ("y", "y_dot"):
+            y_ref[0, :, :] = acc
+        if mode in ("y_dot", "pq"):
+            accum_scalar(dot_ref, jnp.sum((body() * acc).astype(jnp.float32)))
+        if mode == "update":
+            alpha = alpha_ref[0, 0].astype(dtype)
+            xo_ref[0, :, :] = xv_ref[0, :, :] + alpha * body()
+            rnew = rv_ref[0, :, :] - alpha * acc
+            ro_ref[0, :, :] = rnew
+            accum_scalar(rr_ref, jnp.sum((rnew * rnew).astype(jnp.float32)))
+
+    blk = lambda: pl.BlockSpec(
+        (1, Y, Z), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_top plane
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_bot plane
+    ]
+    out_shape, out_specs = [], []
+    operands = [x, halo_top, halo_bot]
+    aliases = {}
+    bytes_accessed = X * Y * Z * dtype.itemsize
+    if mode in ("y", "y_dot"):
+        out_shape.append(jax.ShapeDtypeStruct((X, Y, Z), dtype))
+        out_specs.append(blk())
+        bytes_accessed += X * Y * Z * dtype.itemsize
+    if mode in ("y_dot", "pq"):
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(smem())
+    if mode == "update":
+        xv, rv, alpha = extra
+        operands += [xv, rv, alpha.reshape(1, 1).astype(jnp.float32)]
+        in_specs += [blk(), blk(), smem()]
+        out_shape += [
+            jax.ShapeDtypeStruct((X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ]
+        out_specs += [blk(), blk(), smem()]
+        aliases = {3: 0, 4: 1}  # x/r buffers are consumed
+        bytes_accessed += 4 * X * Y * Z * dtype.itemsize
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        scratch_shapes=[
+            pltpu.VMEM((4, YP, ZP), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(offsets) * X * Y * Z,
+            bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def grid3d_stencil_matvec(
+    x, halo_top, halo_bot, *, offsets, values,
+    with_dot: bool = False, interpret: bool = False,
+):
+    """y = A @ x (and optionally <x, y>) for the 3-D stencil
+    {(ox, oy, oz): v} over the local [X, Y, Z] block."""
+    mode = "y_dot" if with_dot else "y"
+    result = _stencil3d_call(
+        x, halo_top, halo_bot, (), offsets=offsets, values=values,
+        mode=mode, interpret=interpret,
+    )
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result[0]
+
+
+def grid3d_cg_pq(p, halo_top, halo_bot, *, offsets, values, interpret=False):
+    """<p, A p> without materializing A p (fused-CG pass 1; 4 B/elt)."""
+    (dot,) = _stencil3d_call(
+        p, halo_top, halo_bot, (), offsets=offsets, values=values,
+        mode="pq", interpret=interpret,
+    )
+    return dot[0, 0]
+
+
+def grid3d_cg_update(
+    p, x, r, alpha, halo_top, halo_bot, *, offsets, values, interpret=False
+):
+    """(x + alpha p, r - alpha A p, <r', r'>) with A p formed in VMEM only
+    (fused-CG pass 2; 20 B/elt).  ``x``/``r`` buffers are consumed."""
+    xo, ro, rr = _stencil3d_call(
+        p, halo_top, halo_bot,
+        (x, r, jnp.asarray(alpha, jnp.float32)),
+        offsets=offsets, values=values, mode="update", interpret=interpret,
+    )
+    return xo, ro, rr[0, 0]

@@ -9,8 +9,9 @@ segment reduction.
 
 These are the correctness-reference paths and the building blocks for the
 per-shard local SpMV used by the distributed operator; the performance paths
-are the ELL/DIA layouts (``ops/ell.py``, ``ops/dia.py``) and their Pallas
-kernels.
+are the per-shard ELL layout in ``parallel/distmatrix.py`` and the
+matrix-free Pallas stencil kernels (``ops/pallas/stencil2d.py``,
+``ops/pallas/stencil3d.py``).
 """
 
 from __future__ import annotations

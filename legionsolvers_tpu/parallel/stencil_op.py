@@ -133,7 +133,8 @@ class StencilOperator:
             vals = tuple(v for _, v in self.offsets)
             Br = B // C
             if supports(Br, C, offs):
-                return {"C": C, "Br": Br, "offs": offs, "vals": vals}
+                return {"kind": "2d", "C": C, "Br": Br, "offs": offs,
+                        "vals": vals}
             return None
         if len(self.shape) == 1:
             for C in (4096, 2048, 1024, 512, 256, 128):
@@ -142,9 +143,73 @@ class StencilOperator:
                         self.lin_offsets, [v for _, v in self.offsets], C
                     )
                     if supports(B // C, C, offs):
-                        return {"C": C, "Br": B // C, "offs": offs, "vals": vals}
+                        return {"kind": "2d", "C": C, "Br": B // C,
+                                "offs": offs, "vals": vals}
             return None
-        return None  # 3-D needs mid-dim masks: future kernel revision
+        if len(self.shape) == 3:
+            from ..ops.pallas.stencil3d import supports3d
+
+            _, Y, Z = self.shape
+            if B % (Y * Z):
+                return None  # shard blocks must be whole x-plane slabs
+            offs3 = tuple(o for o, _ in self.offsets)
+            vals = tuple(v for _, v in self.offsets)
+            if supports3d(Y, Z, offs3):
+                return {"kind": "3d", "Y": Y, "Z": Z, "Br": B // (Y * Z),
+                        "offs3": offs3, "vals": vals}
+            return None
+        return None  # 4-D+: linearized fallback
+
+    def _exchange_planes3d(self, g: jnp.ndarray, *, sharded: bool):
+        """([Y, Z] top, [Y, Z] bot) x-halo planes for the local [Xl, Y, Z]
+        block: the neighbors' edge planes via ppermute, zeros at the global
+        grid boundary (|ox| <= 1, so one plane each way suffices)."""
+        v = self._view
+        Y, Z = v["Y"], v["Z"]
+        S = self.partition.num_pieces
+        need_lo = any(o[0] < 0 for o in v["offs3"])
+        need_hi = any(o[0] > 0 for o in v["offs3"])
+        top = jnp.zeros((Y, Z), g.dtype)
+        bot = jnp.zeros((Y, Z), g.dtype)
+        if sharded and S > 1:
+            if need_lo:
+                t = jax.lax.ppermute(
+                    g[-1], SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)]
+                )
+                top = jnp.where(
+                    jax.lax.axis_index(SHARD_AXIS) == 0, jnp.zeros_like(t), t
+                )
+            if need_hi:
+                b = jax.lax.ppermute(
+                    g[0], SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)]
+                )
+                bot = jnp.where(
+                    jax.lax.axis_index(SHARD_AXIS) == S - 1,
+                    jnp.zeros_like(b), b,
+                )
+        return top, bot
+
+    def _pallas_local_3d(
+        self, x_loc: jnp.ndarray, *, sharded: bool, with_dot: bool = False
+    ):
+        from ..ops.pallas.stencil3d import grid3d_stencil_matvec
+
+        v = self._view
+        Y, Z, Br = v["Y"], v["Z"], v["Br"]
+        S = self.partition.num_pieces
+        was_flat = x_loc.ndim == 1
+        xg = x_loc.reshape(Br, Y, Z) if was_flat else x_loc
+        top, bot = self._exchange_planes3d(xg, sharded=sharded)
+        out = grid3d_stencil_matvec(
+            xg, top, bot, offsets=v["offs3"], values=v["vals"],
+            with_dot=with_dot, interpret=self._interpret,
+        )
+        if with_dot:
+            y, partial = out
+            if sharded and S > 1:
+                partial = jax.lax.psum(partial, SHARD_AXIS)
+            return (y.reshape(-1) if was_flat else y), partial
+        return out.reshape(-1) if was_flat else out
 
     def _pallas_local(
         self, x_loc: jnp.ndarray, *, sharded: bool, with_dot: bool = False
@@ -152,6 +217,10 @@ class StencilOperator:
         from ..ops.pallas.stencil2d import grid2d_stencil_matvec
 
         v = self._view
+        if v.get("kind") == "3d":
+            return self._pallas_local_3d(
+                x_loc, sharded=sharded, with_dot=with_dot
+            )
         C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
         S = self.partition.num_pieces
         rlo = max(0, -min(dy for dy, _ in offs))
@@ -355,6 +424,8 @@ class StencilOperator:
             return False
         if self._view is None:
             return True  # jnp recompute path: any geometry/dtype
+        if self._view.get("kind") == "3d":
+            return True  # VMEM validated by supports3d(n_streams=4) at plan
         from ..ops.pallas.stencil2d import _pick_tile_rows, _pick_tile_rows_dual
 
         v = self._view
@@ -386,6 +457,8 @@ class StencilOperator:
             raise ValueError("fused CG runner needs at least one iteration")
         if self._view is None:
             return self._make_jnp_cg_runner(num_iterations)
+        if self._view.get("kind") == "3d":
+            return self._make_pallas3d_cg_runner(num_iterations)
 
         from ..ops.pallas.stencil2d import (
             grid2d_cg_pq,
@@ -479,6 +552,80 @@ class StencilOperator:
             return jax.jit(local_run)
 
         fns = {}  # jitted shard_map per input layout (flat vs grid)
+
+        def runner(x, r, p, rr0):
+            fn = fns.get(x.ndim)
+            if fn is None:
+                spec = P(SHARD_AXIS, *([None] * (x.ndim - 1)))
+                fn = jax.jit(
+                    jax.shard_map(
+                        local_run,
+                        mesh=self.mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=(spec, spec, spec, P()),
+                        check_vma=False,
+                    )
+                )
+                fns[x.ndim] = fn
+            return fn(x, r, p, jnp.asarray(rr0, jnp.float32))
+
+        return runner
+
+    def _make_pallas3d_cg_runner(self, num_iterations: int):
+        """Fused CG over the 3-D plane-streaming kernels: each iteration is
+        an XLA xpay (p = r + beta p, 12 B/elt) + a ``pq`` pass (<p, A p>
+        with A p formed in VMEM, 4 B/elt) + an ``update`` pass (20 B/elt) —
+        36 B/unknown/iteration, one p halo-plane exchange per iteration.
+        Same contract as the 2-D runner: run(x, r, p, rr0) ->
+        (x, r, p, history)."""
+        from ..ops.pallas.stencil3d import grid3d_cg_pq, grid3d_cg_update
+
+        v = self._view
+        Y, Z, Br = v["Y"], v["Z"], v["Br"]
+        S = self.partition.num_pieces
+        sharded = S > 1
+        interpret = jax.default_backend() == "cpu"
+        kw = dict(offsets=v["offs3"], values=v["vals"], interpret=interpret)
+
+        def psum(s):
+            return jax.lax.psum(s, SHARD_AXIS) if sharded else s
+
+        def half_step(x, r, p, rr, hist, slot):
+            """pq + update passes for the current p; returns new state."""
+            top, bot = self._exchange_planes3d(p, sharded=sharded)
+            pq = psum(grid3d_cg_pq(p, top, bot, **kw))
+            alpha = rr / pq
+            x, r, rr_new = grid3d_cg_update(p, x, r, alpha, top, bot, **kw)
+            rr_new = psum(rr_new)
+            hist = hist.at[slot].set(rr_new)
+            return x, r, rr_new, hist
+
+        def body(i, carry):
+            x, r, p, rr, rr_prev, hist = carry
+            beta = (rr / rr_prev).astype(p.dtype)
+            p = r + beta * p
+            x, r, rr_new, hist = half_step(x, r, p, rr, hist, i + 1)
+            return x, r, p, rr_new, rr, hist
+
+        def local_run(x, r, p, rr0):
+            was_flat = x.ndim == 1
+            if was_flat:
+                x, r, p = (a.reshape(Br, Y, Z) for a in (x, r, p))
+            rr0 = jnp.asarray(rr0, jnp.float32)
+            hist = jnp.zeros(num_iterations + 1, jnp.float32).at[0].set(rr0)
+            # prologue: iteration 0 uses the incoming p unchanged
+            x, r, rr, hist = half_step(x, r, p, rr0, hist, 1)
+            x, r, p, rr, _, hist = jax.lax.fori_loop(
+                1, num_iterations, body, (x, r, p, rr, rr0, hist)
+            )
+            if was_flat:
+                x, r, p = (a.reshape(-1) for a in (x, r, p))
+            return x, r, p, hist
+
+        if not sharded:
+            return jax.jit(local_run)
+
+        fns = {}
 
         def runner(x, r, p, rr0):
             fn = fns.get(x.ndim)
