@@ -11,10 +11,11 @@ operator, and prints ONE JSON line:
 
 The reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
 is the fraction of the *measured* HBM streaming speed-of-light for a full CG
-iteration.  On the fused two-pass Pallas path an iteration moves 32
-bytes/unknown (xpay+pq pass: read r + p, write p = 12; update pass: read
-p/x/r, write x/r = 20; q = A p never touches HBM); the classic schedule
-moves 48.  1.0 = memory-bound optimum at the schedule actually used.
+iteration at the schedule actually executed.  The bytes-per-iteration model
+is shared with legionsolvers_tpu/benchmark.py (utils/roofline.py), and the
+roofline itself is the VMEM-residency-proof triad of
+utils/timing.measure_stream_bandwidth (validated against a Pallas HBM copy
+kernel in scripts/probe_roofline.py).  1.0 = memory-bound optimum.
 
 Timing is marginal (short vs long compiled runs) to cancel the dispatch
 relay's fixed latency — see legionsolvers_tpu/utils/timing.py.
@@ -35,6 +36,7 @@ LONG_ITERS = 250         # marginal window: 200 iterations (reference count)
 
 def main() -> None:
     from legionsolvers_tpu import CGSolver, SolverOptions
+    from legionsolvers_tpu.utils.roofline import solver_bytes_per_iteration
     from legionsolvers_tpu.utils.timing import (
         marginal_seconds_per_iter,
         measure_stream_bandwidth,
@@ -46,9 +48,9 @@ def main() -> None:
     solver = CGSolver(planner)
     n = N_GRID * N_GRID
     nnz = 5 * N_GRID * N_GRID - 4 * N_GRID  # 5-pt stencil exact nnz
-    fused = solver._make_fused_runner(SHORT_ITERS) is not None
-    bytes_per_unknown = 32.0 if fused else 48.0
-    print(f"[bench] fused-CG path: {fused}", file=sys.stderr)
+    bytes_per_iter, schedule = solver_bytes_per_iteration(solver, n)
+    print(f"[bench] CG schedule: {schedule} "
+          f"({bytes_per_iter / n:.0f} B/unknown/iter)", file=sys.stderr)
 
     bw = measure_stream_bandwidth(n)
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
@@ -72,7 +74,7 @@ def main() -> None:
 
     ms_per_iter = sec_per_iter * 1e3
     nnz_per_s = nnz / sec_per_iter
-    sol_ms = bytes_per_unknown * n / bw * 1e3
+    sol_ms = bytes_per_iter / bw * 1e3
     vs_baseline = sol_ms / ms_per_iter  # fraction of speed-of-light
 
     print(

@@ -86,22 +86,25 @@ def main(argv=None) -> None:
     mesh = make_mesh(args.vp) if args.vp > 1 else None
     planner, n, nnz = build_planner(args, mesh, options)
 
+    from .utils.roofline import solver_bytes_per_iteration
+
     if args.solver == 1:
         solver = CGSolver(planner)
-        # DIA-path CG traffic: ~56 bytes/unknown/iteration (see bench.py)
-        bytes_per_iter = 56.0 * n
     elif args.solver == 2:
         solver = BiCGStabSolver(planner)
-        # 2 matvecs + 4 dots + 6 axpy-class ops
-        bytes_per_iter = 96.0 * n
     else:
         solver = GMRESSolver(planner, restart=args.restart)
-        # per restart cycle: m matvecs + O(m^2) dots/axpys over m vectors
-        m = args.restart
-        bytes_per_iter = (8.0 * m + 12.0 * m * (m + 1)) * n / 1.0
+    # shared traffic model (utils/roofline.py) — same accounting as bench.py
+    bytes_per_iter, schedule = solver_bytes_per_iteration(solver, n)
+    print(f"[bench] schedule: {schedule} "
+          f"({bytes_per_iter / n:.0f} B/unknown/iter)", file=sys.stderr)
 
-    bw = measure_stream_bandwidth()
-    print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
+    # the roofline probe streams 3 x 256 MB arrays hundreds of times — only
+    # meaningful (and affordable) on the accelerator backend
+    bw = measure_stream_bandwidth() if jax.default_backend() == "tpu" else None
+    if bw is not None:
+        print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s",
+              file=sys.stderr)
 
     init_state = planner.dump_state()
     init_scalars = {
@@ -123,16 +126,19 @@ def main(argv=None) -> None:
     hist = np.asarray(run(args.it))
 
     ms = sec_per_iter * 1e3
-    sol_ms = bytes_per_iter / bw * 1e3
     names = {1: "CG", 2: "BiCGStab", 3: f"GMRES({args.restart})"}
     print(
         f"[bench] dim={args.dim} {names[args.solver]} n={n} pieces={args.vp} "
         f"dtype={args.dtype}: residual2[{args.it}]={hist[-1]:.4g}",
         file=sys.stderr,
     )
+    roofline = (
+        f", {100 * (bytes_per_iter / bw * 1e3) / ms:.1f}% of stream roofline"
+        if bw is not None
+        else ""
+    )
     print(f"Achieved {ms:.6f} ms per iteration "
-          f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s, "
-          f"{100 * sol_ms / ms:.1f}% of stream roofline)")
+          f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s{roofline})")
 
 
 if __name__ == "__main__":

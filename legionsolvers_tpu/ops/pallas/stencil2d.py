@@ -300,7 +300,7 @@ def _stencil_call(
     blk = lambda: pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_top (small)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_bot (small)
     ]
@@ -559,8 +559,8 @@ def grid2d_cg_xpay_pq(
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # r in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # p_old in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # r in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # p_old in HBM
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             halo, halo, halo, halo,
         ],

@@ -43,9 +43,6 @@ PADZ = 128  # zero-padded lanes left/right of each resident plane
 _VMEM_LIMIT = 64 * 2**20
 _VMEM_BUDGET = 40 * 2**20
 
-_N_STREAMS = {"y": 1, "y_dot": 1, "pq": 0, "update": 4}
-
-
 def _plane_bytes(Y: int, Z: int, itemsize: int) -> int:
     return (Y + 2 * PADY) * (Z + 2 * PADZ) * itemsize
 
@@ -204,7 +201,7 @@ def _stencil3d_call(
     )
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_top plane
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_bot plane
     ]

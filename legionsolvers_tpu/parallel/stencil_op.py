@@ -77,12 +77,15 @@ class StencilOperator:
         self.lin_offsets = [linear_offset(self.shape, o) for o, _ in self.offsets]
         self.band_lo = max(0, -min(self.lin_offsets, default=0))  # look-back
         self.band_hi = max(0, max(self.lin_offsets, default=0))  # look-ahead
+        # When the stencil bandwidth exceeds the block size, neighbor-ring
+        # ppermute can no longer supply the halo; the linearized path then
+        # falls back to a gather-based (all_gather) halo instead of failing
+        # (the reference handles any partition/ghost shape via Legion images,
+        # COOMatrix.cpp:98-118 — this is the TPU analog of that generality).
         B = partition.block_size
-        if partition.num_pieces > 1 and max(self.band_lo, self.band_hi) > B:
-            raise ValueError(
-                f"stencil bandwidth {max(self.band_lo, self.band_hi)} exceeds "
-                f"block size {B}; use fewer pieces or a larger grid"
-            )
+        self._wide_band = (
+            partition.num_pieces > 1 and max(self.band_lo, self.band_hi) > B
+        )
 
         if use_pallas is None:
             use_pallas = not bool(int(os.environ.get("LEGIONSOLVERS_NO_PALLAS", "0")))
@@ -102,6 +105,14 @@ class StencilOperator:
     @property
     def uses_pallas(self) -> bool:
         return self._view is not None
+
+    @property
+    def supports_matvec_dot(self) -> bool:
+        """Whether :meth:`matvec_dot` (SpMV with the <x, Ax> reduction fused
+        into the kernel pass) is available for this operator's topology —
+        queried by ``SquarePlanner.matvec_dot`` instead of exception-based
+        dispatch."""
+        return self.partition.num_pieces == 1 or self.mesh is not None
 
     def nnz(self) -> int:
         from ..problems.stencil import calculate_stencil_size
@@ -280,23 +291,38 @@ class StencilOperator:
         lo, hi = self.band_lo, self.band_hi
         dtype = x_loc.dtype
 
-        parts = []
-        if lo > 0:
-            tail = x_loc[B - lo :]
-            if sharded and S > 1:
-                tail = jax.lax.ppermute(
-                    tail, SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)]
-                )
-            parts.append(tail)
-        parts.append(x_loc)
-        if hi > 0:
-            head = x_loc[:hi]
-            if sharded and S > 1:
-                head = jax.lax.ppermute(
-                    head, SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)]
-                )
-            parts.append(head)
-        x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_loc
+        if sharded and S > 1 and self._wide_band:
+            # Gather-based halo: bandwidth exceeds the block size, so the
+            # +-1 neighbor ring can't supply the window.  all_gather the
+            # source and slice this shard's [sB - lo, sB + B + hi) window
+            # (mod padded size; wrapped reads are killed by the boundary
+            # masks, same as the unsharded multiblock path).
+            x_all = jax.lax.all_gather(x_loc, SHARD_AXIS, tiled=True)
+            s = jax.lax.axis_index(SHARD_AXIS)
+            N = self.partition.padded_size
+            w = (
+                jnp.arange(B + lo + hi, dtype=jnp.int64 if N > 2**31 else jnp.int32)
+                + (s * B - lo)
+            ) % N
+            x_ext = x_all[w]
+        else:
+            parts = []
+            if lo > 0:
+                tail = x_loc[B - lo :]
+                if sharded and S > 1:
+                    tail = jax.lax.ppermute(
+                        tail, SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)]
+                    )
+                parts.append(tail)
+            parts.append(x_loc)
+            if hi > 0:
+                head = x_loc[:hi]
+                if sharded and S > 1:
+                    head = jax.lax.ppermute(
+                        head, SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)]
+                    )
+                parts.append(head)
+            x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_loc
 
         if sharded and S > 1:
             s = jax.lax.axis_index(SHARD_AXIS)
@@ -673,26 +699,42 @@ class StencilOperator:
             return x, r, p, rr_new, hist
 
         def local_run(x, r, p, rr0):
+            # accept grid-layout inputs too: flatten to the 1-D local block
+            # for the linearized matvec, restore the layout on return
+            shape = x.shape
+            if x.ndim > 1:
+                x, r, p = (a.reshape(-1) for a in (x, r, p))
             rr0 = jnp.asarray(rr0, x.dtype)
             hist = jnp.zeros(num_iterations + 1, x.dtype).at[0].set(rr0)
             x, r, p, _, hist = jax.lax.fori_loop(
                 0, num_iterations, body, (x, r, p, rr0, hist)
             )
+            if len(shape) > 1:
+                x, r, p = (a.reshape(shape) for a in (x, r, p))
             return x, r, p, hist
 
         if not sharded:
             return jax.jit(local_run)
 
-        spec = P(SHARD_AXIS)
-        return jax.jit(
-            jax.shard_map(
-                local_run,
-                mesh=self.mesh,
-                in_specs=(spec, spec, spec, P()),
-                out_specs=(spec, spec, spec, P()),
-                check_vma=False,
-            )
-        )
+        fns = {}  # jitted shard_map per input layout (flat vs grid)
+
+        def runner(x, r, p, rr0):
+            fn = fns.get(x.ndim)
+            if fn is None:
+                spec = P(SHARD_AXIS, *([None] * (x.ndim - 1)))
+                fn = jax.jit(
+                    jax.shard_map(
+                        local_run,
+                        mesh=self.mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=(spec, spec, spec, P()),
+                        check_vma=False,
+                    )
+                )
+                fns[x.ndim] = fn
+            return fn(x, r, p, rr0)
+
+        return runner
 
     def transpose(self) -> "StencilOperator":
         """A^T as a stencil operator: offset o with value v becomes offset -o

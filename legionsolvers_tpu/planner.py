@@ -212,9 +212,12 @@ class SquarePlanner:
         reduction into the SpMV kernel where the operator supports it
         (StencilOperator.matvec_dot).  Falls back to matvec + dot."""
         by_range = self._operators_by_range()
+        # Explicit capability query (no exception-based control flow in
+        # traced paths): an operator advertises fused SpMV+dot support via
+        # ``supports_matvec_dot``.
         fusable = all(
             len(ops) == 1
-            and hasattr(ops[0][0], "matvec_dot")
+            and getattr(ops[0][0], "supports_matvec_dot", False)
             and ops[0][1] == rng  # square diagonal block: src space == dst
             for rng, ops in by_range.items()
         ) and len(by_range) == self.num_spaces
@@ -226,11 +229,7 @@ class SquarePlanner:
             dist, _ = by_range[i][0]
             src = self.get_vector(src_idx, i)
             dst = self.get_vector(dst_idx, i)
-            try:
-                y, part = dist.matvec_dot(src.data)
-            except ValueError:
-                self.matvec(dst_idx, src_idx)
-                return self.dot(src_idx, dst_idx)
+            y, part = dist.matvec_dot(src.data)
             dst.data = y
             part = jnp.asarray(part, dtype=self.options.entry_dtype)
             total = part if total is None else total + part

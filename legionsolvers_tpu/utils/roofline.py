@@ -1,0 +1,118 @@
+"""Shared HBM-traffic model for solver benchmarks.
+
+One bytes-per-iteration accounting used by BOTH benchmark drivers (bench.py
+and legionsolvers_tpu/benchmark.py) so they report the same "% of streaming
+roofline" for the same configuration — the analog of the reference's single
+ms/iteration metric definition (reference: test/BenchmarkStencil.cpp:255-262,
+bench_all.py:206).
+
+The model counts HBM bytes moved per *unknown* per iteration for the schedule
+the solver will actually execute, assuming the matrix-free stencil operator
+(O(1) matrix bytes).  Vector element size is taken from the dtype.  Counts
+are per logical pass: each vector read or write of length n costs
+``n * itemsize``; passes the implementation provably fuses are counted once.
+
+CG schedules (see solvers/cg.py, parallel/stencil_op.py):
+
+* ``fused2d``  — two Pallas passes/iter: xpay_pq (read r + p_old, write p =
+  3 passes) + update (read p/x/r, write x/r = 5); q = A p never in HBM -> 8
+  passes = 32 B/unknown at f32.
+* ``fused3d``  — XLA xpay (3) + pq pass (1) + update pass (5) = 9 passes
+  = 36 B/unknown.
+* ``fused_jnp`` — whole-loop jnp runner: matvec+pq dot (read p, write q,
+  dot reuses the pass: 2), x axpy (3), r axpy (3), rr dot (1), p xpay (3)
+  = 12 passes = 48 B/unknown.
+* ``classic``  — step()-per-iteration with a separate p.q dot pass (2 more
+  reads) = 14 passes = 56 B/unknown.
+
+BiCGStab (solvers/bicgstab.py ``step``, assuming XLA fuses the adjacent
+axpy/xpay pairs and the two U dots into single passes): rho dot (2), p update
+(4), matvec V (2), r_tilde.V dot (2), R axpy (3), matvec U (2), R.U + U.U
+dots (2), two SOL axpys (4), R axpy (3), residual dot (1) = 25 passes
+= 100 B/unknown.
+
+GMRES(m) per cycle (solvers/gmres.py ``step``): residual matvec + xpay +
+dot + scal (2+3+1+3 = 9); Arnoldi j = 0..m-1: matvec (2), j+1 dots (2 each),
+j+1 axpys (3 each), norm dot (1), scal (3) -> sum = m*6 + 5*m(m+1)/2 - ...
+computed exactly in :func:`gmres_passes`; solution update m axpys (3m).
+"""
+
+from __future__ import annotations
+
+CG_PASSES = {
+    "fused2d": 8,
+    "fused3d": 9,
+    "fused_jnp": 12,
+    "classic": 14,
+}
+
+
+def cg_schedule(solver) -> str:
+    """Which CG schedule ``solver.solve()`` will execute, by the same
+    capability probes CGSolver._make_fused_runner / StencilOperator use."""
+    planner = solver.planner
+    if (
+        planner.num_spaces == 1
+        and len(planner.row_partitioned_matrices) == 1
+        and planner.row_partitioned_matrices[0][1:] == (0, 0)
+        and getattr(planner.row_partitioned_matrices[0][0], "supports_fused_cg", False)
+    ):
+        op = planner.row_partitioned_matrices[0][0]
+        view = getattr(op, "_view", None)
+        if view is None:
+            return "fused_jnp"
+        return "fused3d" if view.get("kind") == "3d" else "fused2d"
+    # step()-per-iteration path: the p.q reduction is fused into the SpMV
+    # pass when every operator supports matvec_dot
+    fusable = all(
+        getattr(op, "supports_matvec_dot", False)
+        for op, _, _ in planner.row_partitioned_matrices
+    )
+    return "fused_jnp" if fusable else "classic"
+
+
+def cg_bytes_per_unknown(schedule: str, itemsize: int = 4) -> float:
+    return CG_PASSES[schedule] * itemsize
+
+
+def bicgstab_bytes_per_unknown(itemsize: int = 4) -> float:
+    return 25 * itemsize
+
+
+def gmres_passes(m: int) -> int:
+    """Vector passes per GMRES(m) cycle (see module docstring)."""
+    passes = 9  # residual: matvec(2) + xpay(3) + dot(1) + scal(3)
+    for j in range(m):
+        passes += 2            # matvec
+        passes += 2 * (j + 1)  # MGS dots
+        passes += 3 * (j + 1)  # MGS axpys
+        passes += 1            # norm dot
+        if j + 1 < m:
+            passes += 3        # scal
+    passes += 3 * m            # solution update axpys
+    return passes
+
+
+def gmres_bytes_per_cycle_per_unknown(m: int, itemsize: int = 4) -> float:
+    return gmres_passes(m) * itemsize
+
+
+def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
+    """(bytes per iteration for the whole system, schedule label) for any of
+    the three solver classes.  ``n`` is the total unknown count (all spaces)."""
+    import jax.numpy as jnp
+
+    itemsize = jnp.dtype(solver.planner.options.entry_dtype).itemsize
+    name = type(solver).__name__
+    if name in ("CGSolver", "PCGSolver"):
+        sched = cg_schedule(solver)
+        return cg_bytes_per_unknown(sched, itemsize) * n, sched
+    if name == "BiCGStabSolver":
+        return bicgstab_bytes_per_unknown(itemsize) * n, "bicgstab"
+    if name == "GMRESSolver":
+        m = solver.restart
+        return (
+            gmres_bytes_per_cycle_per_unknown(m, itemsize) * n,
+            f"gmres{m}",
+        )
+    raise ValueError(f"no traffic model for {name}")

@@ -42,15 +42,22 @@ def marginal_seconds_per_iter(
     return max((t_long - t_short) / (long - short), 1e-12)
 
 
-def measure_stream_bandwidth(n: int = 1 << 24, dtype=None) -> float:
+def measure_stream_bandwidth(n: int = 1 << 26, dtype=None) -> float:
     """Measured streaming bytes/s via a marginal chained-axpy fori_loop
-    (3 arrays * 4 bytes touched per element per iteration).  This is the
-    in-situ HBM roofline used to normalize solver benchmarks.
+    (3 arrays * itemsize bytes touched per element per iteration).  This is
+    the in-situ HBM roofline used to normalize solver benchmarks.
 
-    The axpy coefficient depends on the loop index: a constant-coefficient
-    chain is a linear recurrence XLA can unroll-and-fold into fewer passes,
-    which over-reports bandwidth ~3x (observed 2428 GB/s on an 819 GB/s
-    v5e chip).  The index-dependent coefficient defeats that folding."""
+    Two folding traps, both defeated here (validated on chip — see
+    scripts/probe_roofline.py):
+
+    * a constant-coefficient chain is a linear recurrence XLA can
+      unroll-and-fold into fewer passes -> the coefficient depends on the
+      loop index;
+    * arrays that fit in VMEM let XLA keep the loop carry resident and
+      stream only one array per iteration, over-reporting ~3x (measured
+      2085 GB/s at n=2^24/64 MB vs 682 GB/s at n=2^26/256 MB on a v5e whose
+      datasheet bandwidth is 819 GB/s) -> the default size is 256 MB per
+      array, far above any VMEM capacity."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32

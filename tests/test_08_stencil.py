@@ -93,14 +93,39 @@ def test_dia_operator_unsharded_multipiece():
     np.testing.assert_allclose(y, dense_stencil(shape, offs) @ x_host, rtol=1e-12)
 
 
-def test_bandwidth_guard(mesh8):
-    """Bandwidth > block size must be rejected (halo would span non-adjacent
-    shards)."""
-    with pytest.raises(ValueError):
-        StencilOperator(
-            (4, 8), laplacian_stencil(2), partition=BlockPartition(32, 8),
-            mesh=mesh8, options=F64,
-        )
+def test_wide_bandwidth_gather_fallback(mesh8):
+    """Bandwidth > block size (halo spans non-adjacent shards) must fall back
+    to the gather-based halo and still match the dense oracle (previously a
+    hard ValueError; the reference handles any ghost shape via Legion images,
+    COOMatrix.cpp:98-118)."""
+    shape, offs = (4, 8), laplacian_stencil(2)  # band = 8 > block = 4
+    part = BlockPartition(32, 8)
+    op = StencilOperator(shape, offs, partition=part, mesh=mesh8, options=F64)
+    assert op._wide_band
+    rng = np.random.default_rng(2)
+    x_host = rng.random(32)
+    x = PartitionedVector.from_array("x", x_host, part, mesh=mesh8, options=F64)
+    y = np.asarray(op.matvec(x.data))[:32]
+    np.testing.assert_allclose(y, dense_stencil(shape, offs) @ x_host, rtol=1e-12)
+
+
+def test_wide_bandwidth_cg(mesh8):
+    """End-to-end CG on a wide-band sharded geometry: the fused jnp runner
+    must route through the gather halo and converge to the true solution."""
+    shape, offs = (4, 8), laplacian_stencil(2)
+    part = BlockPartition(32, 8)
+    op = StencilOperator(shape, offs, partition=part, mesh=mesh8, options=F64)
+    rhs = PartitionedVector("rhs", part, mesh=mesh8, options=F64).constant_fill(1.0)
+    sol = PartitionedVector("sol", part, mesh=mesh8, options=F64).zero_fill()
+    planner = SquarePlanner(mesh=mesh8, options=F64)
+    planner.add_sol_vector(sol)
+    planner.add_rhs_vector(rhs)
+    planner.add_operator(op, 0, 0)
+    solver = CGSolver(planner)
+    solver.solve(60)
+    x = np.asarray(planner.get_vector(0, 0).data)[:32]
+    expected = np.linalg.solve(dense_stencil(shape, offs), np.ones(32))
+    np.testing.assert_allclose(x, expected, rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.parametrize("use_mesh", [False, True])
