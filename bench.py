@@ -52,7 +52,9 @@ def main() -> None:
     print(f"[bench] CG schedule: {schedule} "
           f"({bytes_per_iter / n:.0f} B/unknown/iter)", file=sys.stderr)
 
-    bw = measure_stream_bandwidth(n)
+    # default probe size (256 MB arrays): the problem size itself (64 MB at
+    # n=2^24) fits in VMEM and lets XLA fold the probe loop (~3x over-report)
+    bw = measure_stream_bandwidth()
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
 
     init_state = planner.dump_state()

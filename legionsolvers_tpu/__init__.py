@@ -15,6 +15,7 @@ from .core.vector import PartitionedVector
 from .core.matrix import AbstractLinearOperator, AbstractMatrix, COOMatrix, CSRMatrix
 from .parallel.mesh import make_mesh, single_device_mesh, num_shards
 from .parallel.distmatrix import RowPartitionedMatrix
+from .parallel.dia_op import DiaOperator
 from .parallel.stencil_op import StencilOperator
 from .planner import SquarePlanner
 from .solvers.cg import CGSolver

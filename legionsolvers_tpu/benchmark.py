@@ -61,7 +61,10 @@ def build_planner(args, mesh, options):
     return planner, n * num_spaces, nnz
 
 
-def main(argv=None) -> None:
+def main(argv=None, bw=None):
+    """Run one benchmark config; returns a metrics dict (and prints the
+    reference-style "Achieved X ms per iteration" line).  ``bw``: optional
+    pre-measured stream bandwidth in bytes/s (skips the probe)."""
     from . import BiCGStabSolver, CGSolver, GMRESSolver, SolverOptions
     from .parallel.mesh import make_mesh
     from .utils.timing import marginal_seconds_per_iter, measure_stream_bandwidth
@@ -101,7 +104,8 @@ def main(argv=None) -> None:
 
     # the roofline probe streams 3 x 256 MB arrays hundreds of times — only
     # meaningful (and affordable) on the accelerator backend
-    bw = measure_stream_bandwidth() if jax.default_backend() == "tpu" else None
+    if bw is None and jax.default_backend() == "tpu":
+        bw = measure_stream_bandwidth()
     if bw is not None:
         print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s",
               file=sys.stderr)
@@ -132,13 +136,24 @@ def main(argv=None) -> None:
         f"dtype={args.dtype}: residual2[{args.it}]={hist[-1]:.4g}",
         file=sys.stderr,
     )
-    roofline = (
-        f", {100 * (bytes_per_iter / bw * 1e3) / ms:.1f}% of stream roofline"
-        if bw is not None
-        else ""
-    )
+    pct = 100 * (bytes_per_iter / bw * 1e3) / ms if bw is not None else None
+    roofline = f", {pct:.1f}% of stream roofline" if pct is not None else ""
     print(f"Achieved {ms:.6f} ms per iteration "
           f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s{roofline})")
+    return {
+        "dim": args.dim,
+        "solver": names[args.solver],
+        "n": n,
+        "nnz": nnz,
+        "pieces": args.vp,
+        "dtype": args.dtype,
+        "ms_per_iter": ms,
+        "gnnz_per_s": nnz / sec_per_iter / 1e9,
+        "schedule": schedule,
+        "bytes_per_unknown": bytes_per_iter / n,
+        "pct_roofline": pct,
+        "final_residual2": float(hist[-1]),
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,257 @@
+"""Pallas TPU kernel: explicit-DIA SpMV (variable-coefficient stencil).
+
+This is the accelerated device path for *explicit* sparse matrices — the role
+cuSPARSE CSR/COO SpMV plays in the reference (reference:
+CSRMatrixTasks.cu:14-156, COOMatrixTasks.cu:12-146).  TPUs have no efficient
+arbitrary VMEM gather (Mosaic rejects >2-D gathers; probed on chip), so the
+TPU-native layout for the banded matrices this library targets is DIA:
+per-diagonal coefficient arrays, extracted host-side from any COO/CSR matrix
+(parallel/dia_op.py).  SpMV then becomes
+
+    y = sum_k  diag_k * shift(x, offset_k)
+
+which is the stencil kernel of ``stencil2d.py`` with the compile-time
+constants replaced by streamed coefficient grids: x streams through the same
+double-buffered VMEM window (3-segment DMA with +-8 row halo), while the
+[D, TR, C] coefficient blocks ride the automatic pallas pipeline.  HBM
+traffic is (1 + D) reads + 1 write = (2 + D) * 4 B/element — within ~2x of
+the matrix-free path for 5-point stencils and far ahead of any gather-based
+ELL schedule on this hardware.
+
+Boundary handling needs no masks: the coefficient arrays are zero exactly
+where the matrix has no entry, so shifted reads of padding/wrapped lanes are
+multiplied by zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil2d import PADC, _VMEM_LIMIT, _VMEM_BUDGET
+
+
+def pick_tile_rows_dia(
+    R: int, C: int, n_diags: int, itemsize: int,
+    with_dot: bool = True, vmem_budget: int = _VMEM_BUDGET,
+) -> int:
+    """Largest row tile (multiple of 8, dividing R, <= 128) fitting the VMEM
+    budget.  Streams: the double-buffered x window (2 W*CW) + its value-level
+    load (W*CW), the pipelined [D, TR, C] coefficient block + y output
+    (double-buffered), and ~3 compute temporaries."""
+    best = 0
+    tr = 8
+    while tr <= min(R, 128):
+        W, CW = tr + 16, C + 2 * PADC
+        streams = 2 * (n_diags + 1)  # double-buffered diag block + y
+        need = (3 * W * CW + (streams + 3) * tr * C) * itemsize
+        if R % tr == 0 and need <= vmem_budget:
+            best = tr
+        tr += 8
+    return best
+
+
+def supports_dia(R: int, C: int, offsets, n_diags: int,
+                 itemsize: int = 4) -> bool:
+    """Whether the DIA kernel handles this geometry (mirror of
+    stencil2d.supports with the coefficient streams accounted)."""
+    if C % 128 != 0 or not offsets:
+        return False
+    if pick_tile_rows_dia(R, C, n_diags, itemsize) == 0:
+        return False
+    rlo = max(0, -min(dy for dy, _ in offsets))
+    rhi = max(0, max(dy for dy, _ in offsets))
+    return rlo <= 8 and rhi <= 8 and all(abs(dx) < C for _, dx in offsets)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "tile_rows", "with_dot", "interpret"),
+)
+def dia2d_matvec(
+    x: jnp.ndarray,
+    halo_top: jnp.ndarray,
+    halo_bot: jnp.ndarray,
+    diags: jnp.ndarray,
+    *,
+    offsets: Tuple[Tuple[int, int], ...],
+    tile_rows: int = 0,
+    with_dot: bool = False,
+    interpret: bool = False,
+):
+    """y = A @ x (and optionally <x, y>) where A is stored as per-diagonal
+    coefficient grids ``diags`` [D, R, C] with ``diags[k, r, c]`` multiplying
+    ``x[r + dy_k, c + dx_k]``.  ``halo_top``/``halo_bot`` follow the
+    stencil2d contract: [8, C] blocks whose last-rlo / first-rhi rows are the
+    neighbor edge rows (zeros at the global grid edges)."""
+    R, C = x.shape
+    D = diags.shape[0]
+    dtype = x.dtype
+    rlo = max(0, -min(dy for dy, _ in offsets))
+    rhi = max(0, max(dy for dy, _ in offsets))
+    TR = tile_rows or pick_tile_rows_dia(R, C, D, dtype.itemsize)
+    if TR == 0 or R % TR != 0 or rlo > 8 or rhi > 8:
+        raise ValueError(f"unsupported DIA geometry R={R} C={C} TR={TR}")
+    nt = R // TR
+    PAD = 8
+    W = TR + 2 * PAD
+    CW = C + 2 * PADC
+
+    def issue_window(j, x_hbm, win, sems):
+        slot = jnp.asarray(j, jnp.int32) % 2
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
+            sems.at[slot, 0],
+        ).start()
+        if rlo > 0:
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 1],
+                ).start()
+        if rhi > 0:
+            @pl.when(j < nt - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of((j + 1) * TR, 8), PAD), :],
+                    win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 2],
+                ).start()
+
+    def wait_window(j, x_hbm, win, sems):
+        slot = jnp.asarray(j, jnp.int32) % 2
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
+            sems.at[slot, 0],
+        ).wait()
+        if rlo > 0:
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 1],
+                ).wait()
+        if rhi > 0:
+            @pl.when(j < nt - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, PAD), :],
+                    win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 2],
+                ).wait()
+
+    def kernel(x_hbm, top_ref, bot_ref, dia_ref, *rest):
+        if with_dot:
+            (y_ref, dot_ref, win, sems) = rest
+        else:
+            (y_ref, win, sems) = rest
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            issue_window(0, x_hbm, win, sems)
+
+        @pl.when(i + 1 < nt)
+        def _():
+            issue_window(i + 1, x_hbm, win, sems)
+
+        wait_window(i, x_hbm, win, sems)
+        slot = jnp.asarray(i, jnp.int32) % 2
+
+        @pl.when(i == 0)
+        def _():
+            for sl in (0, 1):
+                win[sl, :, 0:PADC] = jnp.zeros((W, PADC), dtype)
+                win[sl, :, PADC + C : CW] = jnp.zeros((W, PADC), dtype)
+
+        if rlo > 0:
+            @pl.when(i == 0)
+            def _():
+                win[slot, 0:PAD, PADC : PADC + C] = top_ref[:, :]
+        if rhi > 0:
+            @pl.when(i == nt - 1)
+            def _():
+                win[slot, PAD + TR : PAD + TR + PAD, PADC : PADC + C] = (
+                    bot_ref[:, :]
+                )
+
+        wv = win[slot, :, :]
+        acc = None
+        for k, (dy, dx) in enumerate(offsets):
+            if abs(dx) <= PADC:
+                sh = jax.lax.slice(
+                    wv, (PAD + dy, PADC + dx), (PAD + dy + TR, PADC + dx + C)
+                )
+            else:
+                rows = jax.lax.slice(
+                    wv, (PAD + dy, PADC), (PAD + dy + TR, PADC + C)
+                )
+                # wrapped lanes carry garbage; the coefficient arrays are
+                # zero wherever the matrix has no entry, which kills them
+                sh = pltpu.roll(rows, (-dx) % C, 1)
+            term = dia_ref[k, :, :] * sh
+            acc = term if acc is None else acc + term
+
+        y_ref[:, :] = acc
+        if with_dot:
+            body = jax.lax.slice(wv, (PAD, PADC), (PAD + TR, PADC + C))
+            part = jnp.sum((body * acc).astype(jnp.float32))
+
+            @pl.when(i == 0)
+            def _():
+                dot_ref[0, 0] = part
+
+            @pl.when(i > 0)
+            def _():
+                dot_ref[0, 0] = dot_ref[0, 0] + part
+
+    blk = pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((R, C), dtype)]
+    out_specs = [blk]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_top
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # halo_bot
+            pl.BlockSpec((D, TR, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),  # coefficient block
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, W, CW), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * R * C,
+            bytes_accessed=(2 + D) * R * C * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, halo_top, halo_bot, diags)
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result[0]

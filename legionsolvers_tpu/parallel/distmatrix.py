@@ -183,6 +183,25 @@ class RowPartitionedMatrix:
     def nnz(self) -> int:
         return self.matrix.n_kernel
 
+    # Operator device state: threaded through solver jits as ARGUMENTS (via
+    # SquarePlanner.dump_state/load_state) so the ELL slabs and halo
+    # schedules are never baked into compiled programs as giant constants.
+    def device_state(self):
+        s = {
+            "ell_cols": self.ell_cols,
+            "ell_vals": self.ell_vals,
+            "send_idx": self.send_idx,
+            "recv_pos": self.recv_pos,
+        }
+        if self.mesh is None:
+            s["g_ell_cols"] = self.g_ell_cols
+            s["g_ell_vals"] = self.g_ell_vals
+        return s
+
+    def set_device_state(self, state) -> None:
+        for k, v in state.items():
+            setattr(self, k, v)
+
     # ------------------------------------------------------------------
     def _local_matvec(self, x_blk, ell_cols, ell_vals, *sched):
         """Per-shard body (runs inside shard_map).  ``x_blk`` is [1, B_d]."""

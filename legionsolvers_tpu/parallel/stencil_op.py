@@ -261,6 +261,32 @@ class StencilOperator:
                 h = jnp.where(is_last, jnp.zeros_like(h), h)
                 bot = bot.at[:rhi, :].set(h)
 
+        if sharded and S > 1 and (rlo or rhi):
+            # Overlap: the kernel pass runs with ZERO halos, so it is
+            # data-independent of the ppermutes above and XLA's async
+            # collective scheduler can fly the exchange during the O(n)
+            # pass; the omitted edge terms are patched afterwards
+            # (parallel/overlap.py; the analog of Legion overlapping ghost
+            # copies with leaf tasks, COOMatrix.cpp:172-188).
+            from .overlap import apply_edge_fixup, dot_fixup
+
+            zero = jnp.zeros((8, C), dtype)
+            out = grid2d_stencil_matvec(
+                xg, zero, zero, offsets=offs, values=vals,
+                interpret=self._interpret, with_dot=with_dot,
+            )
+            coeff = lambda k, sl: jnp.asarray(vals[k], dtype)
+            if with_dot:
+                y, partial = out
+                partial = partial + dot_fixup(xg, offs, top, bot, coeff)
+            else:
+                y = out
+            y = apply_edge_fixup(y, offs, top, bot, coeff)
+            if with_dot:
+                partial = jax.lax.psum(partial, SHARD_AXIS)
+                return (y.reshape(-1) if was_flat else y), partial
+            return y.reshape(-1) if was_flat else y
+
         out = grid2d_stencil_matvec(
             xg, top, bot, offsets=offs, values=vals,
             interpret=self._interpret, with_dot=with_dot,
@@ -375,7 +401,7 @@ class StencilOperator:
                         x_loc, sharded=sharded, with_dot=True
                     )
                 y = self._local_matvec(x_loc, sharded=sharded)
-                part = jnp.sum(x_loc * y, dtype=jnp.float32)
+                part = jnp.sum(x_loc * y)  # accumulate in the entry dtype
                 if sharded and S > 1:
                     part = jax.lax.psum(part, SHARD_AXIS)
                 return y, part
@@ -538,19 +564,36 @@ class StencilOperator:
         def psum(s):
             return jax.lax.psum(s, SHARD_AXIS) if sharded else s
 
+        # Overlap (sharded): pass 1 runs with ZERO halos so it has no data
+        # dependence on the iteration's ppermutes — XLA can fly the exchange
+        # during the pass — and the omitted edge contributions to <p, A p>
+        # are patched from the exchanged halos (parallel/overlap.py).  The
+        # update pass consumes the (long since arrived) halos directly.
+        from .overlap import dot_fixup
+
+        coeff = lambda k, sl: jnp.asarray(vals[k], self.options.entry_dtype)
+
         def body(i, carry):
             x, r, p, rr, rr_prev, hist = carry
             beta = rr / rr_prev
             (r_top, p_top), (r_bot, p_bot) = exchange(r, p)
-            p, pq = grid2d_cg_xpay_pq(
-                r, p, beta, r_top, r_bot, p_top, p_bot, **kw
-            )
+            if sharded and (rlo or rhi):
+                z = jnp.zeros((8, C), p.dtype)
+                p, pq = grid2d_cg_xpay_pq(r, p, beta, z, z, z, z, **kw)
+                bb = jnp.asarray(beta, p_top.dtype)
+                ptop = r_top + bb * p_top
+                pbot = r_bot + bb * p_bot
+                pq = pq + dot_fixup(p, offs, ptop, pbot, coeff)
+            else:
+                p, pq = grid2d_cg_xpay_pq(
+                    r, p, beta, r_top, r_bot, p_top, p_bot, **kw
+                )
+                bb = jnp.asarray(beta, p_top.dtype)
+                ptop = r_top + bb * p_top
+                pbot = r_bot + bb * p_bot
             pq = psum(pq)
             alpha = rr / pq
-            bb = jnp.asarray(beta, p_top.dtype)
-            x, r, rr_new = grid2d_cg_update(
-                p, x, r, alpha, r_top + bb * p_top, r_bot + bb * p_bot, **kw
-            )
+            x, r, rr_new = grid2d_cg_update(p, x, r, alpha, ptop, pbot, **kw)
             rr_new = psum(rr_new)
             hist = hist.at[i + 1].set(rr_new)
             return x, r, p, rr_new, rr, hist
@@ -561,9 +604,15 @@ class StencilOperator:
                 x, r, p = (a.reshape(Br, C) for a in (x, r, p))
             rr0 = jnp.asarray(rr0, jnp.float32)
             hist = jnp.zeros(num_iterations + 1, jnp.float32).at[0].set(rr0)
-            # prologue: iteration 0 with the incoming p (pq-only pass)
+            # prologue: iteration 0 with the incoming p (pq-only pass),
+            # same zero-halo overlap structure as the loop body
             (p_top,), (p_bot,) = exchange(p)
-            pq = psum(grid2d_cg_pq(p, p_top, p_bot, **kw))
+            if sharded and (rlo or rhi):
+                z = jnp.zeros((8, C), p.dtype)
+                pq = grid2d_cg_pq(p, z, z, **kw)
+                pq = psum(pq + dot_fixup(p, offs, p_top, p_bot, coeff))
+            else:
+                pq = psum(grid2d_cg_pq(p, p_top, p_bot, **kw))
             x, r, rr = grid2d_cg_update(p, x, r, rr0 / pq, p_top, p_bot, **kw)
             rr = psum(rr)
             hist = hist.at[1].set(rr)

@@ -104,21 +104,59 @@ class SquarePlanner:
             )
 
     def add_row_partitioned_matrix(
-        self, matrix: AbstractMatrix, domain_index: int, range_index: int
+        self, matrix: AbstractMatrix, domain_index: int, range_index: int,
+        prefer_dia: bool = True,
     ) -> None:
         """reference: SquarePlanner.hpp:209-235 — derive the kernel partition
         from the canonical range partition and the ghost partition from the
-        kernel partition; here both become the static ELL + halo schedule of
-        a RowPartitionedMatrix."""
+        kernel partition; here both become static per-shard data.
+
+        Storage is chosen by a host-side layout analysis (the TPU analog of
+        the reference picking the cuSPARSE COO vs CSR leaf task): square
+        matrices with few distinct diagonals become a
+        :class:`~.parallel.dia_op.DiaOperator` (per-diagonal coefficient
+        arrays driving the Pallas variable-coefficient stencil kernel —
+        (2 + D) * 4 B/element traffic); everything else becomes the general
+        ELL + halo-schedule :class:`~.parallel.distmatrix.RowPartitionedMatrix`.
+        Pass ``prefer_dia=False`` (or set LEGIONSOLVERS_NO_DIA=1) to force ELL.
+        """
+        import os
+
         if domain_index >= self.num_spaces or range_index >= self.num_spaces:
             raise ValueError("space index out of range")
-        dist = RowPartitionedMatrix(
-            matrix,
-            domain_partition=self.canonical_partitions[domain_index],
-            range_partition=self.canonical_partitions[range_index],
-            mesh=self.mesh,
-            options=self.options,
-        )
+        dp = self.canonical_partitions[domain_index]
+        rp = self.canonical_partitions[range_index]
+        dist = None
+        if (
+            prefer_dia
+            and not bool(int(os.environ.get("LEGIONSOLVERS_NO_DIA", "0")))
+            and matrix.n_domain == matrix.n_range
+            and dp == rp
+            and (dp.num_pieces == 1 or self.mesh is not None)
+            and self.canonical_grid_shapes[domain_index] is None
+        ):
+            import numpy as np
+
+            from .parallel.dia_op import MAX_DIAGONALS, DiaOperator
+
+            n_diags = len(
+                np.unique(
+                    np.asarray(matrix.cols, np.int64)
+                    - np.asarray(matrix.rows, np.int64)
+                )
+            )
+            if n_diags <= MAX_DIAGONALS:
+                dist = DiaOperator(
+                    matrix, partition=rp, mesh=self.mesh, options=self.options
+                )
+        if dist is None:
+            dist = RowPartitionedMatrix(
+                matrix,
+                domain_partition=dp,
+                range_partition=rp,
+                mesh=self.mesh,
+                options=self.options,
+            )
         self.row_partitioned_matrices.append((dist, domain_index, range_index))
 
     def add_operator(self, op, domain_index: int, range_index: int) -> None:
@@ -237,9 +275,19 @@ class SquarePlanner:
 
     # -- functional state for scan-based solver loops ----------------------
     def dump_state(self) -> Dict:
+        """Everything a compiled solver loop must carry as ARGUMENTS: the
+        vectors, plus each operator's device buffers (ELL slabs, DIA
+        coefficients, halo schedules).  Threading the operator buffers keeps
+        them out of the compiled program — closed-over concrete arrays
+        become HLO constants, which bloats the executable by the matrix size
+        (and overflows the remote-compile relay for large problems)."""
         state = {
             "sol": tuple(v.data for v in self.sol_vectors),
             "rhs": tuple(v.data for v in self.rhs_vectors),
+            "ops": tuple(
+                op.device_state() if hasattr(op, "device_state") else None
+                for op, _, _ in self.row_partitioned_matrices
+            ),
         }
         for j, ws in enumerate(self.workspace_vectors):
             state[f"ws{j}"] = tuple(v.data for v in ws)
@@ -250,6 +298,11 @@ class SquarePlanner:
             v.data = d
         for v, d in zip(self.rhs_vectors, state["rhs"]):
             v.data = d
+        for (op, _, _), s in zip(
+            self.row_partitioned_matrices, state.get("ops", ())
+        ):
+            if s is not None:
+                op.set_device_state(s)
         for j, ws in enumerate(self.workspace_vectors):
             for v, d in zip(ws, state[f"ws{j}"]):
                 v.data = d

@@ -47,6 +47,19 @@ CG_PASSES = {
 }
 
 
+def operator_matvec_passes(op) -> int:
+    """Vector-length HBM passes one y = A x costs for this operator: read x
+    + write y = 2 for matrix-free stencils; + D coefficient streams for the
+    explicit-DIA operator; + 2L index/value streams for the ELL layout."""
+    if hasattr(op, "_view") and type(op).__name__ == "DiaOperator":
+        v = op._view
+        d = len(v["offs"]) if v is not None else len(op.flat_offsets)
+        return 2 + d
+    if type(op).__name__ == "RowPartitionedMatrix":
+        return 2 + 2 * op.row_length
+    return 2
+
+
 def cg_schedule(solver) -> str:
     """Which CG schedule ``solver.solve()`` will execute, by the same
     capability probes CGSolver._make_fused_runner / StencilOperator use."""
@@ -104,15 +117,19 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
 
     itemsize = jnp.dtype(solver.planner.options.entry_dtype).itemsize
     name = type(solver).__name__
+    ops = [op for op, _, _ in solver.planner.row_partitioned_matrices]
+    # extra streams beyond the matrix-free 2-pass matvec (DIA coefficients,
+    # ELL index/value slabs), charged once per matvec in the schedule
+    extra = max((operator_matvec_passes(op) - 2 for op in ops), default=0)
     if name in ("CGSolver", "PCGSolver"):
         sched = cg_schedule(solver)
-        return cg_bytes_per_unknown(sched, itemsize) * n, sched
+        passes = CG_PASSES[sched] + (extra if sched in ("fused_jnp", "classic") else 0)
+        label = sched if extra == 0 else f"{sched}+{extra}"
+        return passes * itemsize * n, label
     if name == "BiCGStabSolver":
-        return bicgstab_bytes_per_unknown(itemsize) * n, "bicgstab"
+        return (25 + 2 * extra) * itemsize * n, "bicgstab"
     if name == "GMRESSolver":
         m = solver.restart
-        return (
-            gmres_bytes_per_cycle_per_unknown(m, itemsize) * n,
-            f"gmres{m}",
-        )
+        passes = gmres_passes(m) + extra * (m + 1)  # m+1 matvecs per cycle
+        return passes * itemsize * n, f"gmres{m}"
     raise ValueError(f"no traffic model for {name}")

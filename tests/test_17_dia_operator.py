@@ -1,0 +1,175 @@
+"""Explicit-DIA operator tests (the accelerated explicit-matrix path).
+
+The reference's explicit matrices run through cuSPARSE SpMV (reference:
+CSRMatrixTasks.cu:14-156); here they auto-upgrade to per-diagonal coefficient
+arrays driving the variable-coefficient stencil kernel
+(parallel/dia_op.py + ops/pallas/dia2d.py; interpret mode on CPU).  These
+tests pin: DIA matvec == the jnp ELL RowPartitionedMatrix path bit-for-bit
+on the same inputs, golden CG trajectories unchanged through the planner
+auto-upgrade, rmatvec adjoint, fp64 fallback, and padding.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from legionsolvers_tpu import (
+    BlockPartition,
+    CGSolver,
+    DiaOperator,
+    PartitionedVector,
+    RowPartitionedMatrix,
+    SolverOptions,
+    SquarePlanner,
+    coo_negative_laplacian_1d,
+    create_coo_stencil_matrix,
+    laplacian_stencil,
+)
+
+F64 = SolverOptions(entry_dtype=jnp.float64)
+F32 = SolverOptions(entry_dtype=jnp.float32)
+GOLDEN = [100, 4900, 4704, 4512, 4324, 4140, 3960, 3784, 3612, 3444, 3280]
+
+
+@pytest.mark.parametrize("pieces", [1, 4])
+@pytest.mark.parametrize("shape", [(64,), (8, 8), (4, 4, 4)])
+def test_dia_matches_ell_bitwise(shape, pieces, mesh4):
+    """DiaOperator matvec must equal the jnp ELL path bit-for-bit: both
+    reduce each row's contributions in ascending-column order (ELL packs
+    column-sorted; DIA sums diagonals in ascending offset = ascending column
+    per row), so even in floating point the results are identical."""
+    n = int(np.prod(shape))
+    A = create_coo_stencil_matrix(shape, laplacian_stencil(len(shape)),
+                                  options=F64)
+    mesh = mesh4 if pieces == 4 else None
+    part = BlockPartition(n, pieces)
+    dia = DiaOperator(A, partition=part, mesh=mesh, options=F64)
+    ell = RowPartitionedMatrix(A, part, part, mesh, options=F64)
+    rng = np.random.default_rng(0)
+    x = PartitionedVector.from_array(
+        "x", rng.random(n), part, mesh=mesh, options=F64
+    )
+    y_dia = np.asarray(dia.matvec(x.data))
+    y_ell = np.asarray(ell.matvec(x.data))
+    np.testing.assert_array_equal(y_dia, y_ell)
+
+
+def test_dia_f32_pallas_interpret(mesh4):
+    """f32 path (Pallas view active, interpret mode on CPU) vs dense oracle."""
+    shape = (32, 128)  # C=128 divides the block; Br=8 per shard at 4 pieces
+    n = 32 * 128
+    A = create_coo_stencil_matrix(shape, laplacian_stencil(2), options=F32)
+    part = BlockPartition(n, 4)
+    dia = DiaOperator(A, partition=part, mesh=mesh4, options=F32)
+    assert dia.uses_pallas, "expected the Pallas DIA view on this geometry"
+    rng = np.random.default_rng(1)
+    xh = rng.random(n).astype(np.float32)
+    x = PartitionedVector.from_array("x", xh, part, mesh=mesh4, options=F32)
+    y, d = dia.matvec_dot(x.data)
+    y = np.asarray(y)[:n]
+    expected = A.to_dense().astype(np.float64) @ xh
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-6)  # f32
+    assert float(d) == pytest.approx(float(xh @ y), rel=1e-5)
+
+
+@pytest.mark.parametrize("pieces", [1, 4])
+def test_planner_auto_upgrade_golden(pieces, mesh4):
+    """add_row_partitioned_matrix auto-upgrades the 1-D Laplacian to
+    DiaOperator and the n=100 CG golden is unchanged."""
+    mesh = mesh4 if pieces == 4 else None
+    part = BlockPartition(100, pieces)
+    A = coo_negative_laplacian_1d(100, options=F64)
+    planner = SquarePlanner(mesh=mesh, options=F64)
+    planner.add_sol_vector(
+        PartitionedVector("s", part, mesh=mesh, options=F64).zero_fill()
+    )
+    planner.add_rhs_vector(
+        PartitionedVector("b", part, mesh=mesh, options=F64).constant_fill(1.0)
+    )
+    planner.add_row_partitioned_matrix(A, 0, 0)
+    assert isinstance(planner.row_partitioned_matrices[0][0], DiaOperator)
+    hist = np.asarray(CGSolver(planner).solve(10)).tolist()
+    assert hist == GOLDEN
+
+
+def test_planner_prefer_dia_false(mesh4):
+    part = BlockPartition(100, 4)
+    A = coo_negative_laplacian_1d(100, options=F64)
+    planner = SquarePlanner(mesh=mesh4, options=F64)
+    planner.add_sol_vector(
+        PartitionedVector("s", part, mesh=mesh4, options=F64).zero_fill()
+    )
+    planner.add_rhs_vector(
+        PartitionedVector("b", part, mesh=mesh4, options=F64).constant_fill(1.0)
+    )
+    planner.add_row_partitioned_matrix(A, 0, 0, prefer_dia=False)
+    assert isinstance(planner.row_partitioned_matrices[0][0],
+                      RowPartitionedMatrix)
+
+
+def test_dia_rmatvec_adjoint(mesh4):
+    """<A^T y, x> == <y, A x> through the swapped-diagonal transpose."""
+    shape = (8, 8)
+    n = 64
+    # asymmetric operator: shifted stencil
+    offs = [((0, 0), 4.0), ((0, 1), -2.0), ((1, 0), -1.0)]
+    A = create_coo_stencil_matrix(shape, offs, options=F64)
+    part = BlockPartition(n, 4)
+    dia = DiaOperator(A, partition=part, mesh=mesh4, options=F64)
+    rng = np.random.default_rng(2)
+    xh, yh = rng.random(n), rng.random(n)
+    x = PartitionedVector.from_array("x", xh, part, mesh=mesh4, options=F64)
+    y = PartitionedVector.from_array("y", yh, part, mesh=mesh4, options=F64)
+    ax = np.asarray(dia.matvec(x.data))[:n]
+    aty = np.asarray(dia.rmatvec(y.data))[:n]
+    assert yh @ ax == pytest.approx(aty @ xh, rel=1e-12)
+
+
+def test_dia_padding_path(mesh4):
+    """n not divisible by pieces: padded coefficient rows are zero, solve
+    converges to the true solution."""
+    n = 103
+    part = BlockPartition(n, 4)
+    A = coo_negative_laplacian_1d(n, options=F64)
+    planner = SquarePlanner(mesh=mesh4, options=F64)
+    planner.add_sol_vector(
+        PartitionedVector("s", part, mesh=mesh4, options=F64).zero_fill()
+    )
+    planner.add_rhs_vector(
+        PartitionedVector("b", part, mesh=mesh4, options=F64).constant_fill(1.0)
+    )
+    planner.add_row_partitioned_matrix(A, 0, 0)
+    assert isinstance(planner.row_partitioned_matrices[0][0], DiaOperator)
+    CGSolver(planner).solve(n)
+    x = np.asarray(planner.get_vector(0, 0).data)[:n]
+    assert np.linalg.norm(A.to_dense() @ x - 1.0) < 1e-8
+
+
+def test_dia_rejects_nonsquare():
+    class Fake:
+        rows = np.array([0, 1])
+        cols = np.array([0, 1])
+        vals = np.array([1.0, 1.0])
+        n_domain = 4
+        n_range = 2
+        n_kernel = 2
+
+    with pytest.raises(ValueError):
+        DiaOperator(Fake(), partition=BlockPartition(2, 1), mesh=None,
+                    options=F64)
+
+
+def test_dia_wide_band_gather(mesh8):
+    """Bandwidth > block size routes through the gather-based linearized
+    fallback and matches the dense oracle."""
+    shape = (4, 8)  # band 8 > block 4 at 8 pieces
+    n = 32
+    A = create_coo_stencil_matrix(shape, laplacian_stencil(2), options=F64)
+    part = BlockPartition(n, 8)
+    dia = DiaOperator(A, partition=part, mesh=mesh8, options=F64)
+    assert dia._wide_band and not dia.uses_pallas
+    rng = np.random.default_rng(3)
+    xh = rng.random(n)
+    x = PartitionedVector.from_array("x", xh, part, mesh=mesh8, options=F64)
+    y = np.asarray(dia.matvec(x.data))[:n]
+    np.testing.assert_allclose(y, A.to_dense() @ xh, rtol=1e-12)
