@@ -610,3 +610,417 @@ def _pick_tile_rows_dual(
             best = tr
         tr += 8
     return best
+
+
+# ===========================================================================
+# s-step fused CG: TWO iterations per HBM pass (12 B/unknown/iteration)
+# ===========================================================================
+#
+# The 2-pass fused schedule above is already at its traffic floor for
+# one-iteration-at-a-time CG (the alpha = rr/<p,Ap> reduction forces a global
+# synchronization between forming p and updating x/r).  s-step CG breaks that
+# floor: with s = 2, both iterations' coefficients are rational functions of
+# the 10-entry Gram matrix of {r, Ar, p, Ap, A^2p}, which the PREVIOUS pass
+# computed, so one pass can apply two full CG iterations:
+#
+#   reads  x, r, p; writes x'', r'', p''       -> 6 vector passes / 2 iters
+#   Ap, A^2p, Ar, Ap'', A^2p'', Ar'' formed in VMEM (never touch HBM)
+#   emits the Gram matrix of (r'', p'') for the next pass
+#
+# = 12 B/unknown/iteration at f32 vs 32 for the 2-pass schedule.  This is the
+# same algebra as the reference's own s-step research sketch
+# (reference: scripts/krylov.py:34-93, the "double CG" prototype) carried to
+# its TPU-native conclusion.  Monomial-basis s=2 is numerically benign for
+# the fixed-iteration benchmark regime (trajectories tracked against classic
+# CG in tests/test_20_sstep.py); the classic fused path remains the default
+# for sharded runs, fp64, and |dy| > 1 stencils.
+#
+# Update algebra (A symmetric; all dots from the incoming Gram):
+#   a0 = rr/<p,Ap>;  r1 = r - a0 Ap;  rr1 = rr - 2 a0 <r,Ap> + a0^2 <Ap,Ap>
+#   b1 = rr1/rr;     p1 = r1 + b1 p;  a1 = rr1/<p1,Ap1>
+#   x'' = x + (a0 + a1 b1) p + a1 r - a0 a1 Ap
+#   r'' = r - (a0 + a1 b1) Ap - a1 Ar + a0 a1 A^2p
+#   p'' = r'' + b2 r - b2 a0 Ap + b2 b1 p          (b2 = rr2/rr1)
+
+GRAM_NAMES = ("rr", "pAp", "rAp", "ApAp", "rAr",
+              "ApAr", "ApA2p", "ArAr", "ArA2p", "A2pA2p")
+
+
+def _pick_tile_rows_step2(
+    R: int, C: int, itemsize: int, vmem_budget: int = _VMEM_BUDGET
+) -> int:
+    """Tile rows for the step2 kernel: 2 double-buffered windows (r, p), 2
+    value-level window loads, ~8 extended-row compute temporaries, and 4
+    streamed (TR, C) blocks (x in; x/r/p out), each double-buffered."""
+    best = 0
+    tr = 8
+    while tr <= min(R, 128):
+        W, CW = tr + 16, C + 2 * PADC
+        need = (6 * W * CW + 8 * (tr + 8) * CW + 8 * tr * C) * itemsize
+        if R % tr == 0 and need <= vmem_budget:
+            best = tr
+        tr += 8
+    return best
+
+
+def step2_supported(R: int, C: int, offsets, itemsize: int = 4) -> bool:
+    """step2/gram2 geometry gate: row bandwidth 1 (four chained stencil
+    applications must stay inside the 8-row window pad), column offsets
+    within one lane-pad block, and the VMEM budget."""
+    if C % 128 != 0:
+        return False
+    if any(abs(dy) > 1 for dy, _ in offsets):
+        return False
+    if any(abs(dx) > PADC - 8 for _, dx in offsets):
+        return False
+    return _pick_tile_rows_step2(R, C, itemsize) > 0
+
+
+def cg2_coeffs(g: jnp.ndarray):
+    """(update coefficients [6], rr after iter 1, rr after iter 2) from the
+    Gram vector ``g`` ordered as :data:`GRAM_NAMES`.  Pure scalar jnp —
+    traced between passes, O(1)."""
+    rr, pAp, rAp, ApAp, rAr, ApAr, ApA2p, ArAr, ArA2p, A2pA2p = (
+        g[i] for i in range(10)
+    )
+    a0 = rr / pAp
+    rr1 = rr - 2.0 * a0 * rAp + a0 * a0 * ApAp
+    b1 = rr1 / rr
+    r1Ar1 = rAr - 2.0 * a0 * ApAr + a0 * a0 * ApA2p
+    r1Ap = rAp - a0 * ApAp
+    p1Ap1 = r1Ar1 + 2.0 * b1 * r1Ap + b1 * b1 * pAp
+    a1 = rr1 / p1Ap1
+    r1Ap1 = r1Ar1 + b1 * r1Ap
+    Ar1Ap = ApAr - a0 * ApA2p
+    Ar1Ar1 = ArAr - 2.0 * a0 * ArA2p + a0 * a0 * A2pA2p
+    Ap1Ap1 = Ar1Ar1 + 2.0 * b1 * Ar1Ap + b1 * b1 * ApAp
+    rr2 = rr1 - 2.0 * a1 * r1Ap1 + a1 * a1 * Ap1Ap1
+    b2 = rr2 / rr1
+    coef = jnp.stack(
+        [a0 + a1 * b1, a1, a0 * a1, b2, b2 * a0, b2 * b1]
+    ).astype(jnp.float32)
+    return coef, rr1, rr2
+
+
+def _sstep_call(
+    r: jnp.ndarray,
+    p: jnp.ndarray,
+    extra: tuple,
+    *,
+    offsets: Tuple[Tuple[int, int], ...],
+    values: Tuple[float, ...],
+    tile_rows: int = 0,
+    mode: str = "step2",
+    interpret: bool = False,
+):
+    """Shared driver for the s=2 kernels (modes ``gram2`` and ``step2``).
+
+    Both stream r and p through dual double-buffered VMEM windows exactly
+    like :func:`grid2d_cg_xpay_pq`; there are no halo-block operands because
+    this family is single-shard only — the rows outside the grid are zeroed
+    in the window (Dirichlet), and every intermediate stencil application is
+    re-masked to the real grid so chained applications see true matrix
+    powers, not zero-padded convolutions.  ``extra`` is () for gram2 and
+    (x, coef) for step2.
+    """
+    R, C = r.shape
+    dtype = r.dtype
+    if any(abs(dy) > 1 for dy, _ in offsets):
+        raise ValueError("step2 kernels require row bandwidth <= 1")
+    TR = tile_rows or _pick_tile_rows_step2(R, C, dtype.itemsize)
+    if TR == 0 or R % TR != 0:
+        raise ValueError(f"unsupported geometry R={R} C={C} TR={TR}")
+    nt = R // TR
+    PAD = 8
+    W = TR + 2 * PAD
+    CW = C + 2 * PADC
+
+    def issue_window(j, hbm, win, sems):
+        slot = jnp.asarray(j, jnp.int32) % 2
+        pltpu.make_async_copy(
+            hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
+            sems.at[slot, 0],
+        ).start()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
+                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                sems.at[slot, 1],
+            ).start()
+
+        @pl.when(j < nt - 1)
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(pl.multiple_of((j + 1) * TR, 8), PAD), :],
+                win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
+                sems.at[slot, 2],
+            ).start()
+
+    def wait_window(j, hbm, win, sems):
+        slot = jnp.asarray(j, jnp.int32) % 2
+        pltpu.make_async_copy(
+            hbm.at[pl.ds(0, TR), :],
+            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
+            sems.at[slot, 0],
+        ).wait()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(0, PAD), :],
+                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                sems.at[slot, 1],
+            ).wait()
+
+        @pl.when(j < nt - 1)
+        def _():
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(0, PAD), :],
+                win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
+                sems.at[slot, 2],
+            ).wait()
+
+    def kernel(r_hbm, p_hbm, *rest):
+        if mode == "gram2":
+            (gram_ref, rwin, pwin, rsems, psems) = rest
+        else:
+            (x_ref, coef_ref, xo_ref, ro_ref, po_ref, gram_ref,
+             rwin, pwin, rsems, psems) = rest
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            issue_window(0, r_hbm, rwin, rsems)
+            issue_window(0, p_hbm, pwin, psems)
+
+        @pl.when(i + 1 < nt)
+        def _():
+            issue_window(i + 1, r_hbm, rwin, rsems)
+            issue_window(i + 1, p_hbm, pwin, psems)
+
+        wait_window(i, r_hbm, rwin, rsems)
+        wait_window(i, p_hbm, pwin, psems)
+        slot = jnp.asarray(i, jnp.int32) % 2
+
+        @pl.when(i == 0)
+        def _():
+            for wref in (rwin, pwin):
+                for sl in (0, 1):
+                    wref[sl, :, 0:PADC] = jnp.zeros((W, PADC), dtype)
+                    wref[sl, :, PADC + C : CW] = jnp.zeros((W, PADC), dtype)
+
+        # out-of-grid rows are Dirichlet zeros (single-shard contract)
+        @pl.when(i == 0)
+        def _():
+            rwin[slot, 0:PAD, PADC : PADC + C] = jnp.zeros((PAD, C), dtype)
+            pwin[slot, 0:PAD, PADC : PADC + C] = jnp.zeros((PAD, C), dtype)
+
+        @pl.when(i == nt - 1)
+        def _():
+            rwin[slot, PAD + TR : W, PADC : PADC + C] = (
+                jnp.zeros((PAD, C), dtype)
+            )
+            pwin[slot, PAD + TR : W, PADC : PADC + C] = (
+                jnp.zeros((PAD, C), dtype)
+            )
+
+        wr = rwin[slot, :, :]
+        wp = pwin[slot, :, :]
+
+        def applyA(val):
+            """One stencil application; rows shrink by 1 each side.  +-1.0
+            coefficients fold into the add/subtract (no multiply)."""
+            m = val.shape[0]
+            acc = None
+            for (dy, dx), v in zip(offsets, values):
+                sh = jax.lax.slice(val, (1 + dy, 0), (m - 1 + dy, CW))
+                if dx:
+                    sh = pltpu.roll(sh, (-dx) % CW, 1)
+                if acc is None:
+                    acc = sh if v == 1.0 else (-sh if v == -1.0
+                                               else jnp.asarray(v, dtype) * sh)
+                elif v == 1.0:
+                    acc = acc + sh
+                elif v == -1.0:
+                    acc = acc - sh
+                else:
+                    acc = acc + jnp.asarray(v, dtype) * sh
+            return acc
+
+        # one 0/1 mask for the whole window, built once per tile; every
+        # masked intermediate is a single multiply by a row-aligned slice
+        rid = jax.lax.broadcasted_iota(jnp.int32, (W, CW), 0) + (i * TR - PAD)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (W, CW), 1)
+        maskW = (
+            (rid >= 0) & (rid < R) & (cid >= PADC) & (cid < PADC + C)
+        ).astype(dtype)
+
+        def mask(val, lo):
+            """Zero entries outside the real grid.  ``lo`` is the global row
+            of val's first row relative to this tile's first body row."""
+            return val * jax.lax.slice(
+                maskW, (PAD + lo, 0), (PAD + lo + val.shape[0], CW)
+            )
+
+        body = lambda a, lo: jax.lax.slice(
+            a, (-lo, PADC), (-lo + TR, PADC + C)
+        )
+
+        def accum(vals_):
+            @pl.when(i == 0)
+            def _():
+                for j, s in enumerate(vals_):
+                    gram_ref[0, j] = s
+
+            @pl.when(i > 0)
+            def _():
+                for j, s in enumerate(vals_):
+                    gram_ref[0, j] = gram_ref[0, j] + s
+
+        def gram(rb, pb, Apb, A2pb, Arb):
+            d = lambda a, b: jnp.sum((a * b).astype(jnp.float32))
+            accum((
+                d(rb, rb), d(pb, Apb), d(rb, Apb), d(Apb, Apb), d(rb, Arb),
+                d(Apb, Arb), d(Apb, A2pb), d(Arb, Arb), d(Arb, A2pb),
+                d(A2pb, A2pb),
+            ))
+
+        if mode == "gram2":
+            p2e = jax.lax.slice(wp, (PAD - 2, 0), (PAD + TR + 2, CW))
+            r1e = jax.lax.slice(wr, (PAD - 1, 0), (PAD + TR + 1, CW))
+            Ap1 = mask(applyA(p2e), -1)
+            A2p = applyA(Ap1)
+            Ar = applyA(r1e)
+            gram(
+                body(wr, -PAD), body(wp, -PAD),
+                body(Ap1, -1), A2p[:, PADC : PADC + C],
+                Ar[:, PADC : PADC + C],
+            )
+            return
+
+        # ---- step2 ----
+        # Five stencil applications per two CG iterations, using linearity:
+        #   u  = c0 p + c1 r - c2 Ap        (= x'' - x)
+        #   r'' = r - A u                    (c0 Ap + c1 Ar - c2 A^2p = A u)
+        #   p'' = r'' + c3 r - c4 Ap + c5 p
+        # then Ap'', A^2p'', Ar'' for the next pass's Gram.
+        c0 = coef_ref[0, 0].astype(dtype)
+        c1 = coef_ref[0, 1].astype(dtype)
+        c2 = coef_ref[0, 2].astype(dtype)
+        c3 = coef_ref[0, 3].astype(dtype)
+        c4 = coef_ref[0, 4].astype(dtype)
+        c5 = coef_ref[0, 5].astype(dtype)
+
+        ext = lambda a, e: jax.lax.slice(
+            a, (PAD - e, 0), (PAD + TR + e, CW)
+        )
+        s3 = mask(applyA(ext(wp, 4)), -3)               # A p  on [-3, TR+3)
+        u3 = c0 * ext(wp, 3) + c1 * ext(wr, 3) - c2 * s3
+        t2 = mask(applyA(u3), -2)                       # A u  on [-2, TR+2)
+        rn = ext(wr, 2) - t2                            # r''  on [-2, TR+2)
+        s2 = jax.lax.slice(s3, (1, 0), (TR + 5, CW))
+        pn = rn + c3 * ext(wr, 2) - c4 * s2 + c5 * ext(wp, 2)
+        Apn1 = mask(applyA(jax.lax.slice(pn, (0, 0), (TR + 4, CW))), -1)
+        A2pn = applyA(Apn1)                             # rows [0, TR)
+        Arn = applyA(jax.lax.slice(rn, (1, 0), (TR + 3, CW)))
+
+        xo_ref[:, :] = x_ref[:, :] + body(u3, -3)
+        rb = body(rn, -2)
+        pb = body(pn, -2)
+        ro_ref[:, :] = rb
+        po_ref[:, :] = pb
+        gram(rb, pb, body(Apn1, -1), A2pn[:, PADC : PADC + C],
+             Arn[:, PADC : PADC + C])
+
+    smem1 = lambda n: pl.BlockSpec(
+        (1, n), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    blk = lambda: pl.BlockSpec(
+        (TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # r in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # p in HBM
+    ]
+    operands = [r, p]
+    out_shape = []
+    out_specs = []
+    aliases = {}
+    if mode == "step2":
+        x, coef = extra
+        operands += [x, coef.reshape(1, 6).astype(jnp.float32)]
+        in_specs += [blk(), smem1(6)]
+        out_shape += [
+            jax.ShapeDtypeStruct((R, C), dtype),   # x''
+            jax.ShapeDtypeStruct((R, C), dtype),   # r''
+            jax.ShapeDtypeStruct((R, C), dtype),   # p''
+        ]
+        out_specs += [blk(), blk(), blk()]
+        # x streams body-only blocks: block i is fully read before the
+        # aliased output block i is written (r/p are NOT aliased: their
+        # windows read neighbor rows that an in-place write could race)
+        aliases = {2: 0}
+    out_shape.append(jax.ShapeDtypeStruct((1, 10), jnp.float32))
+    out_specs.append(smem1(10))
+    bytes_accessed = (2 if mode == "gram2" else 6) * R * C * dtype.itemsize
+    napply = 3 if mode == "gram2" else 6
+    result = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        scratch_shapes=[
+            pltpu.VMEM((2, W, CW), dtype),
+            pltpu.VMEM((2, W, CW), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * len(offsets) * napply + 40) * R * C,
+            bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return result
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret")
+)
+def grid2d_cg_gram2(
+    r, p, *, offsets, values, tile_rows: int = 0, interpret: bool = False
+):
+    """Gram vector (ordered :data:`GRAM_NAMES`) of (r, p) — the s-step CG
+    bootstrap pass (8 B/elt, once per solve)."""
+    (g,) = _sstep_call(
+        r, p, (), offsets=offsets, values=values, tile_rows=tile_rows,
+        mode="gram2", interpret=interpret,
+    )
+    return g[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret")
+)
+def grid2d_cg_step2(
+    x, r, p, coef, *, offsets, values, tile_rows: int = 0,
+    interpret: bool = False,
+):
+    """TWO fused CG iterations in one pass (24 B/elt): returns
+    (x'', r'', p'', gram(r'', p'')) given the coefficient vector from
+    :func:`cg2_coeffs`.  ``x``'s buffer is consumed (aliased)."""
+    xo, ro, po, g = _sstep_call(
+        r, p, (x, coef), offsets=offsets, values=values,
+        tile_rows=tile_rows, mode="step2", interpret=interpret,
+    )
+    return xo, ro, po, g[0]

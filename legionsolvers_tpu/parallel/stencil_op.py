@@ -488,10 +488,89 @@ class StencilOperator:
         tru = _pick_tile_rows(v["Br"], v["C"], itemsize, n_streams=4)
         return min(trd, tru) > 0 and rlo <= 8 and rhi <= 8
 
+    @property
+    def step2_eligible(self) -> bool:
+        """Whether the s-step (2 iterations / pass, 12 B/unknown/iter)
+        fused-CG schedule applies: single shard, 2-D Pallas view with row
+        bandwidth <= 1 and lane offsets within one pad block, not disabled
+        via LEGIONSOLVERS_NO_SSTEP.  Sharded runs keep the 1-step schedule
+        (its halo exchange needs only +-bandwidth rows; s-step would need
+        4x that and a fixup spanning two applications)."""
+        if os.environ.get("LEGIONSOLVERS_NO_SSTEP"):
+            return False
+        v = self._view
+        if v is None or v.get("kind") == "3d":
+            return False
+        if self.partition.num_pieces > 1:
+            return False
+        from ..ops.pallas.stencil2d import step2_supported
+
+        itemsize = jnp.dtype(self.options.entry_dtype).itemsize
+        return step2_supported(v["Br"], v["C"], v["offs"], itemsize)
+
+    def _make_step2_cg_runner(self, num_iterations: int):
+        """s-step fused CG: one Pallas pass per TWO iterations (read x/r/p,
+        write x''/r''/p'', 12 B/unknown/iteration) with both iterations'
+        coefficients derived from the Gram matrix of {r, Ar, p, Ap, A^2p}
+        that the *previous* pass emitted (ops/pallas/stencil2d.py, s=2
+        monomial basis — the TPU-native completion of the reference's own
+        fused double-CG sketch, reference: scripts/krylov.py:34-93).  A
+        gram2 bootstrap pass starts the recurrence from any (x, r, p, rr)
+        state; an odd trailing iteration runs as update + XLA xpay.  Same
+        contract as the other runners: run(x, r, p, rr0) ->
+        (x, r, p, history); history entries after odd iterations are the
+        Gram-derived rr1 (exact in exact arithmetic), entries after even
+        iterations are true <r, r> from the next Gram."""
+        from ..ops.pallas.stencil2d import (
+            cg2_coeffs,
+            grid2d_cg_gram2,
+            grid2d_cg_step2,
+            grid2d_cg_update,
+        )
+
+        v = self._view
+        C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
+        interpret = jax.default_backend() == "cpu"
+        kw = dict(offsets=offs, values=vals, interpret=interpret)
+        K, odd = divmod(num_iterations, 2)
+
+        def local_run(x, r, p, rr0):
+            was_flat = x.ndim == 1
+            if was_flat:
+                x, r, p = (a.reshape(Br, C) for a in (x, r, p))
+            rr0 = jnp.asarray(rr0, jnp.float32)
+            hist = jnp.zeros(num_iterations + 1, jnp.float32).at[0].set(rr0)
+            g = grid2d_cg_gram2(r, p, **kw)
+
+            def body(k, carry):
+                x, r, p, g, hist = carry
+                coef, rr1, _ = cg2_coeffs(g)
+                x, r, p, g = grid2d_cg_step2(x, r, p, coef, **kw)
+                hist = hist.at[2 * k + 1].set(rr1)
+                hist = hist.at[2 * k + 2].set(g[0])
+                return x, r, p, g, hist
+
+            x, r, p, g, hist = jax.lax.fori_loop(
+                0, K, body, (x, r, p, g, hist)
+            )
+            if odd:
+                z = jnp.zeros((8, C), p.dtype)
+                alpha = g[0] / g[1]
+                x, r, rr_new = grid2d_cg_update(p, x, r, alpha, z, z, **kw)
+                hist = hist.at[num_iterations].set(rr_new)
+                p = r + (rr_new / g[0]).astype(p.dtype) * p
+            if was_flat:
+                x, r, p = (a.reshape(-1) for a in (x, r, p))
+            return x, r, p, hist
+
+        return jax.jit(local_run)
+
     def make_fused_cg_runner(self, num_iterations: int):
         """Build a compiled CG loop where each iteration is two fused Pallas
         passes moving 32 B/unknown total (vs 48 for the classic
-        matvec/dot/axpy/axpy/dot/xpay schedule):
+        matvec/dot/axpy/axpy/dot/xpay schedule), or — single-shard 2-D f32
+        with small bandwidth — the s-step schedule (one pass per two
+        iterations, 12 B/unknown/iteration, see :meth:`step2_eligible`):
 
         * pass 1 ``xpay_pq``: p = r + beta p and pq = <p, A p> with A p formed
           in VMEM only (12 B/elt);
@@ -511,6 +590,8 @@ class StencilOperator:
             return self._make_jnp_cg_runner(num_iterations)
         if self._view.get("kind") == "3d":
             return self._make_pallas3d_cg_runner(num_iterations)
+        if num_iterations >= 2 and self.step2_eligible:
+            return self._make_step2_cg_runner(num_iterations)
 
         from ..ops.pallas.stencil2d import (
             grid2d_cg_pq,

@@ -18,10 +18,16 @@ import jax
 import numpy as np
 
 
-def time_call(f: Callable, *args, reps: int = 3) -> float:
+def time_call(f: Callable, *args, reps: int = 7) -> float:
     """Best-of-``reps`` wall seconds for ``f(*args)``, forcing device
     completion AND a host fetch (a lazy relay may ack block_until_ready
-    before execution finishes)."""
+    before execution finishes).
+
+    reps defaults to 7: the dispatch relay injects ~50 ms stalls into a
+    sizable fraction of calls (measured on chip: min-of-3 windows produced
+    marginal slopes from 0.19 to 1.49 ms/iter for the same loop; min-of-8
+    windows are stable to ~1%), so a small rep count lets a stall survive
+    the min and corrupt marginal differences."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -33,7 +39,7 @@ def time_call(f: Callable, *args, reps: int = 3) -> float:
 
 
 def marginal_seconds_per_iter(
-    run: Callable[[int], object], short: int, long: int, reps: int = 3
+    run: Callable[[int], object], short: int, long: int, reps: int = 7
 ) -> float:
     """Marginal per-iteration wall time of ``run(num_iters)``; both lengths
     must already be compiled (call them once beforehand)."""

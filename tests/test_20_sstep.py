@@ -1,0 +1,191 @@
+"""s-step fused CG tests (one Pallas pass per TWO iterations; interpret
+mode on CPU).
+
+The s=2 schedule derives both iterations' coefficients from the Gram matrix
+of {r, Ar, p, Ap, A^2p} emitted by the previous pass (12 B/unknown/iter vs
+32 for the 1-step fused schedule) — the TPU-native completion of the
+reference's own fused double-CG sketch (reference: scripts/krylov.py:34-93).
+It is algebraically identical to classic CG, so trajectories must agree to
+f32 rounding; the kernel-level Gram and two-iteration update are checked
+against a dense numpy oracle exactly.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legionsolvers_tpu import (
+    BlockPartition,
+    CGSolver,
+    PartitionedVector,
+    SolverOptions,
+    SquarePlanner,
+    StencilOperator,
+    laplacian_stencil,
+)
+from legionsolvers_tpu.ops.pallas.stencil2d import (
+    GRAM_NAMES,
+    cg2_coeffs,
+    grid2d_cg_gram2,
+    grid2d_cg_step2,
+)
+
+F32 = SolverOptions(entry_dtype=jnp.float32)
+
+OFFS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+VALS = (4.0, -1.0, -1.0, -1.0, -1.0)
+
+
+def apply_np(v, offs=OFFS, vals=VALS):
+    """Dense-equivalent stencil application with Dirichlet truncation."""
+    R, C = v.shape
+    out = np.zeros_like(v)
+    for (dy, dx), w in zip(offs, vals):
+        src = np.zeros_like(v)
+        ys = slice(max(0, dy), R + min(0, dy))
+        yd = slice(max(0, -dy), R + min(0, -dy))
+        xs = slice(max(0, dx), C + min(0, dx))
+        xd = slice(max(0, -dx), C + min(0, -dx))
+        src[yd, xd] = v[ys, xs]
+        out += w * src
+    return out
+
+
+def build(shape):
+    n = int(np.prod(shape))
+    part = BlockPartition(n, 1)
+    op = StencilOperator(
+        shape, laplacian_stencil(len(shape)), partition=part, mesh=None,
+        options=F32,
+    )
+    rhs = PartitionedVector("rhs", part, options=F32, grid_shape=shape)
+    rhs.constant_fill(1.0)
+    sol = PartitionedVector("sol", part, options=F32, grid_shape=shape)
+    sol.zero_fill()
+    planner = SquarePlanner(mesh=None, options=F32)
+    planner.add_sol_vector(sol)
+    planner.add_rhs_vector(rhs)
+    planner.add_operator(op, 0, 0)
+    return planner, op
+
+
+def test_gram2_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal((32, 128)).astype(np.float32)
+    p = rng.standard_normal((32, 128)).astype(np.float32)
+    g = np.asarray(grid2d_cg_gram2(
+        jnp.asarray(r), jnp.asarray(p),
+        offsets=OFFS, values=VALS, interpret=True,
+    ))
+    Ap, Ar = apply_np(p), apply_np(r)
+    A2p = apply_np(Ap)
+    ref = {
+        "rr": (r * r).sum(), "pAp": (p * Ap).sum(), "rAp": (r * Ap).sum(),
+        "ApAp": (Ap * Ap).sum(), "rAr": (r * Ar).sum(),
+        "ApAr": (Ap * Ar).sum(), "ApA2p": (Ap * A2p).sum(),
+        "ArAr": (Ar * Ar).sum(), "ArA2p": (Ar * A2p).sum(),
+        "A2pA2p": (A2p * A2p).sum(),
+    }
+    for name, got in zip(GRAM_NAMES, g):
+        np.testing.assert_allclose(got, ref[name], rtol=2e-5, err_msg=name)
+
+
+def test_step2_matches_two_classic_iterations():
+    """One step2 pass == two textbook CG iterations (fp64 oracle)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((32, 128)).astype(np.float32)
+    r = rng.standard_normal((32, 128)).astype(np.float32)
+    p = rng.standard_normal((32, 128)).astype(np.float32)
+    kw = dict(offsets=OFFS, values=VALS, interpret=True)
+
+    g = grid2d_cg_gram2(jnp.asarray(r), jnp.asarray(p), **kw)
+    coef, rr1, rr2 = cg2_coeffs(g)
+    xo, ro, po, gn = grid2d_cg_step2(
+        jnp.asarray(x), jnp.asarray(r), jnp.asarray(p), coef, **kw
+    )
+
+    xe, re, pe = (a.astype(np.float64) for a in (x, r, p))
+    hist = []
+    for _ in range(2):
+        Ap = apply_np(pe)
+        rr = (re * re).sum()
+        a = rr / (pe * Ap).sum()
+        xe = xe + a * pe
+        re = re - a * Ap
+        rrn = (re * re).sum()
+        hist.append(rrn)
+        pe = re + (rrn / rr) * pe
+
+    scale = max(np.max(np.abs(v)) for v in (xe, re, pe))
+    for got, exp in ((xo, xe), (ro, re), (po, pe)):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), exp, atol=1e-4 * scale
+        )
+    np.testing.assert_allclose(float(rr1), hist[0], rtol=1e-4)
+    np.testing.assert_allclose(float(rr2), hist[1], rtol=1e-4)
+    np.testing.assert_allclose(float(gn[0]), hist[1], rtol=1e-4)
+
+
+@pytest.mark.parametrize("iters", [2, 7, 20])
+def test_sstep_solve_matches_classic(iters):
+    """CGSolver.solve through the s-step runner vs the 1-step fused path
+    (odd counts exercise the update+xpay tail)."""
+    planner, op = build((64, 128))
+    assert op.step2_eligible
+    solver = CGSolver(planner)
+    h2 = np.asarray(solver.solve(iters))
+
+    os.environ["LEGIONSOLVERS_NO_SSTEP"] = "1"
+    try:
+        planner1, op1 = build((64, 128))
+        assert not op1.step2_eligible
+        h1 = np.asarray(CGSolver(planner1).solve(iters))
+    finally:
+        del os.environ["LEGIONSOLVERS_NO_SSTEP"]
+
+    np.testing.assert_allclose(h2, h1, rtol=5e-4)
+    x2 = planner.sol_vectors[0].to_numpy()
+    x1 = planner1.sol_vectors[0].to_numpy()
+    np.testing.assert_allclose(x2, x1, rtol=0, atol=2e-3 * np.abs(x1).max())
+
+
+def test_sstep_is_exact_continuation():
+    """step() twice, then an s-step solve: the trajectory must continue the
+    same CG (the gram2 bootstrap starts from the incoming (x, r, p))."""
+    planner, op = build((64, 128))
+    solver = CGSolver(planner)
+    solver.step()
+    solver.step()
+    pre = [float(s.value) for s in solver.residual_norm_squared]
+    hist = np.asarray(solver.solve(4))
+    assert np.isclose(hist[0], pre[-1], rtol=1e-6)
+
+    planner2, _ = build((64, 128))
+    solver2 = CGSolver(planner2)
+    solver2._make_fused_runner = lambda k: None
+    h_ref = np.asarray(solver2.solve(6))
+    np.testing.assert_allclose(
+        np.concatenate([pre[:-1], hist]), h_ref, rtol=5e-4
+    )
+
+
+def test_sstep_ineligible_when_sharded(mesh4):
+    n = 64 * 128
+    part = BlockPartition(n, 4)
+    op = StencilOperator(
+        (64, 128), laplacian_stencil(2), partition=part, mesh=mesh4,
+        options=F32,
+    )
+    assert op.supports_fused_cg and not op.step2_eligible
+
+
+def test_sstep_schedule_reported():
+    from legionsolvers_tpu.utils.roofline import solver_bytes_per_iteration
+
+    planner, op = build((64, 128))
+    solver = CGSolver(planner)
+    bpi, sched = solver_bytes_per_iteration(solver, 64 * 128)
+    assert sched == "fused2d_x2"
+    assert bpi == 12 * 64 * 128
