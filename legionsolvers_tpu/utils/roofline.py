@@ -104,7 +104,8 @@ def bicgstab_bytes_per_unknown(itemsize: int = 4) -> float:
 
 
 def gmres_passes(m: int) -> int:
-    """Vector passes per GMRES(m) cycle (see module docstring)."""
+    """Vector passes per GMRES(m) cycle for the MGS planner transcription
+    (see module docstring)."""
     passes = 9  # residual: matvec(2) + xpay(3) + dot(1) + scal(3)
     for j in range(m):
         passes += 2            # matvec
@@ -114,6 +115,20 @@ def gmres_passes(m: int) -> int:
         if j + 1 < m:
             passes += 3        # scal
     passes += 3 * m            # solution update axpys
+    return passes
+
+
+def gmres_cgs2_passes(m: int) -> int:
+    """Vector passes per GMRES(m) cycle for the batched CGS2 fast path
+    (solvers/gmres.py ``_make_fused_runner``): residual (read x + b, write
+    V0 = 3 + matvec); per Arnoldi step j: matvec (2), two projection
+    matmuls + two rank-update matmuls (4 sweeps of the j+1 basis rows plus
+    ~4 reads of w), norm + scaled write of V[j+1] (2); solution update
+    (read V[:m] + x, write x)."""
+    passes = 4
+    for j in range(m):
+        passes += 2 + 4 * (j + 1) + 4 + 2
+    passes += m + 2
     return passes
 
 
@@ -141,6 +156,9 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
         return (25 + 2 * extra) * itemsize * n, "bicgstab"
     if name == "GMRESSolver":
         m = solver.restart
-        passes = gmres_passes(m) + extra * (m + 1)  # m+1 matvecs per cycle
-        return passes * itemsize * n, f"gmres{m}"
+        fused = solver._make_fused_runner(1) is not None
+        base = gmres_cgs2_passes(m) if fused else gmres_passes(m)
+        passes = base + extra * (m + 1)  # m+1 matvecs per cycle
+        label = f"gmres{m}_cgs2" if fused else f"gmres{m}_mgs"
+        return passes * itemsize * n, label
     raise ValueError(f"no traffic model for {name}")

@@ -99,3 +99,27 @@ def test_gmres_asymmetric(use_mesh, mesh4):
     x = planner.sol_vectors[0].to_numpy()
     r = np.ones(n) - A.to_dense() @ x
     assert r @ r < 1e-16
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_gmres_fused_cgs2_matches_mgs(use_mesh, mesh4):
+    """The batched CGS2 fast path (solve with jit) and the MGS planner
+    transcription (use_jit=False -> step() loop) are the same algorithm up
+    to rounding: their per-cycle residual histories must agree tightly in
+    fp64 on both fresh copies of one system."""
+    n = 60
+    A = coo_negative_laplacian_1d(n, options=F64)
+
+    p1 = build(A, n, 4, mesh4 if use_mesh else None)
+    s1 = GMRESSolver(p1, restart=7)
+    assert s1._make_fused_runner(1) is not None
+    h_fused = np.asarray(s1.solve(6))
+
+    p2 = build(A, n, 4, mesh4 if use_mesh else None)
+    s2 = GMRESSolver(p2, restart=7)
+    h_mgs = np.asarray(s2.solve(6, use_jit=False))
+
+    np.testing.assert_allclose(h_fused, h_mgs, rtol=1e-9)
+    np.testing.assert_allclose(
+        p1.sol_vectors[0].to_numpy(), p2.sol_vectors[0].to_numpy(), rtol=1e-8
+    )
