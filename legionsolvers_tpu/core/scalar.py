@@ -87,6 +87,47 @@ class Scalar:
         return f"Scalar({self.value!r})"
 
 
+class ScalarHistory(list):
+    """A list of :class:`Scalar` materialized lazily from one device array.
+
+    Compiled solver loops return their whole residual history as a single
+    device array; wrapping every element in a Scalar eagerly costs one
+    device-op dispatch per element, which through a dispatch relay measures
+    ~0.25 ms *per solver iteration* (dominating the fused kernels).  This
+    defers the per-element indexing until someone actually reads the
+    history: ``[-1]`` costs a single device gather, bulk iteration does one
+    host fetch, and benchmark loops that never read it pay nothing.
+    Mutation (``append`` etc.) works like a plain list once elements are
+    materialized."""
+
+    def __init__(self, arr):
+        super().__init__([None] * int(arr.shape[0]))
+        self._arr = arr
+
+    def _get(self, i: int) -> Scalar:
+        v = list.__getitem__(self, i)
+        if v is None:
+            v = Scalar(self._arr[i])
+            list.__setitem__(self, i, v)
+        return v
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._get(j) for j in range(*i.indices(len(self)))]
+        return self._get(i if i >= 0 else len(self) + i)
+
+    def __iter__(self):
+        import numpy as np
+
+        missing = [i for i in range(len(self))
+                   if list.__getitem__(self, i) is None]
+        if missing:  # one host fetch instead of len(self) device gathers
+            vals = np.asarray(self._arr)
+            for i in missing:
+                list.__setitem__(self, i, Scalar(vals[i]))
+        return super().__iter__()
+
+
 def alpha_from_scalars(scalars: Sequence[Scalar]) -> jnp.ndarray:
     """The reference's future-ratio protocol (LegionUtilities.cpp:72-97).
 

@@ -17,7 +17,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from ..core.scalar import Scalar
+from ..core.scalar import Scalar, ScalarHistory
 from ..planner import SquarePlanner
 
 
@@ -91,7 +91,7 @@ class CGSolver:
                 x.data, r.data, p.data, history = frun(
                     x.data, r.data, p.data, rr0
                 )
-                self.residual_norm_squared = [Scalar(v) for v in history]
+                self.residual_norm_squared = ScalarHistory(history)
                 return history
 
         def body(i, carry):
@@ -125,5 +125,5 @@ class CGSolver:
             self._solve_cache[key] = run
         final_state, _, history = run(planner.dump_state(), rr0)
         planner.load_state(final_state)
-        self.residual_norm_squared = [Scalar(v) for v in history]
+        self.residual_norm_squared = ScalarHistory(history)
         return history

@@ -21,7 +21,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from ..core.scalar import Scalar
+from ..core.scalar import Scalar, ScalarHistory
 from ..planner import SquarePlanner
 
 
@@ -196,7 +196,7 @@ class GMRESSolver:
                 bv = planner.get_vector(self.RHS, 0)
                 x_new, history = frun(xv.data, bv.data)
                 xv.data = x_new
-                self.residual_norm_squared = [Scalar(v) for v in history]
+                self.residual_norm_squared = ScalarHistory(history)
                 # closing residual after the last cycle (same contract as
                 # the transcription path below)
                 op = planner.row_partitioned_matrices[0][0]
