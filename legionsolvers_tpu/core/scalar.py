@@ -97,8 +97,12 @@ class ScalarHistory(list):
     defers the per-element indexing until someone actually reads the
     history: ``[-1]`` costs a single device gather, bulk iteration does one
     host fetch, and benchmark loops that never read it pay nothing.
-    Mutation (``append`` etc.) works like a plain list once elements are
-    materialized."""
+
+    ``append``/``extend`` compose with lazy slots; every other list
+    operation (equality, ``in``, ``reversed``, ``repr``, index-shifting
+    mutation like ``insert``/``pop``/``remove``/``sort``) materializes the
+    whole history first so cached slots can never desynchronize from the
+    backing array."""
 
     def __init__(self, arr):
         super().__init__([None] * int(arr.shape[0]))
@@ -111,12 +115,7 @@ class ScalarHistory(list):
             list.__setitem__(self, i, v)
         return v
 
-    def __getitem__(self, i):
-        if isinstance(i, slice):
-            return [self._get(j) for j in range(*i.indices(len(self)))]
-        return self._get(i if i >= 0 else len(self) + i)
-
-    def __iter__(self):
+    def _materialize_all(self):
         import numpy as np
 
         missing = [i for i in range(len(self))
@@ -125,7 +124,58 @@ class ScalarHistory(list):
             vals = np.asarray(self._arr)
             for i in missing:
                 list.__setitem__(self, i, Scalar(vals[i]))
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._get(j) for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+            if i < 0:
+                raise IndexError("ScalarHistory index out of range")
+        return self._get(i)
+
+    def __iter__(self):
+        self._materialize_all()
         return super().__iter__()
+
+    def __reversed__(self):
+        self._materialize_all()
+        return super().__reversed__()
+
+    def __repr__(self):
+        self._materialize_all()
+        return f"ScalarHistory({list.__repr__(self)})"
+
+    def __eq__(self, other):
+        self._materialize_all()
+        if isinstance(other, ScalarHistory):
+            other._materialize_all()
+        return list.__eq__(self, other)
+
+    __hash__ = None
+
+    def __contains__(self, item):
+        self._materialize_all()
+        return super().__contains__(item)
+
+    def _mat_then(name):
+        def method(self, *a, **kw):
+            self._materialize_all()
+            return getattr(list, name)(self, *a, **kw)
+
+        method.__name__ = name
+        return method
+
+    index = _mat_then("index")
+    count = _mat_then("count")
+    insert = _mat_then("insert")
+    remove = _mat_then("remove")
+    pop = _mat_then("pop")
+    sort = _mat_then("sort")
+    reverse = _mat_then("reverse")
+    __setitem__ = _mat_then("__setitem__")
+    __delitem__ = _mat_then("__delitem__")
+    del _mat_then
 
 
 def alpha_from_scalars(scalars: Sequence[Scalar]) -> jnp.ndarray:

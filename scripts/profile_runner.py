@@ -47,7 +47,16 @@ def main():
     print(f"CGSolver.solve    : {sec*1e3:.3f} ms/iter", flush=True)
 
     # the same compiled runners, called directly with raw arrays
-    fr = {k: solver._solve_cache[(k, "fused")] for k in (SHORT, LONG)}
+    fr = {k: solver._solve_cache.get((k, "fused")) for k in (SHORT, LONG)}
+    missing = [k for k, v in fr.items() if v is None]
+    assert not missing, (
+        f"no fused runner compiled for iters={missing} — this topology fell "
+        "back to the generic step path; the raw-runner comparison only "
+        "applies to the fused path")
+    # re-load the INITIAL state: run_solver(LONG) above left the planner at
+    # the converged state, and timing from there with rr0 would desync the
+    # CG recurrence (garbage history, though timing would still be valid)
+    planner.load_state(init_state)
     x0 = planner.get_vector(CGSolver.SOL, 0).data
     r0 = planner.get_vector(CGSolver.R, 0).data
     p0 = planner.get_vector(CGSolver.P, 0).data
