@@ -111,10 +111,12 @@ def main(argv=None, bw=None):
               file=sys.stderr)
 
     init_state = planner.dump_state()
+    # BiCGStabSolver.residual_norm_squared is a method, not a history list —
+    # only snapshot real list-valued scalar state
     init_scalars = {
         k: list(getattr(solver, k))
         for k in ("residual_norm_squared", "rho", "alpha", "omega")
-        if hasattr(solver, k)
+        if isinstance(getattr(solver, k, None), list)
     }
     short = max(args.it // 5, 1)
 

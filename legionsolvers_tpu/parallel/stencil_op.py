@@ -520,7 +520,15 @@ class StencilOperator:
         contract as the other runners: run(x, r, p, rr0) ->
         (x, r, p, history); history entries after odd iterations are the
         Gram-derived rr1 (exact in exact arithmetic), entries after even
-        iterations are true <r, r> from the next Gram."""
+        iterations are true <r, r> from the next Gram.
+
+        Numerics guard: every LEGIONSOLVERS_SSTEP_REFRESH passes (default
+        16, i.e. every 32 iterations; 0 disables) the Gram matrix is
+        RE-MEASURED from the stored r/p vectors by a gram2 pass instead of
+        chained through the step2 recurrence, bounding monomial-basis drift
+        on ill-conditioned systems.  Amortized cost: 2/REFRESH extra vector
+        passes per 2 iterations (~1.5% traffic at the default), counted by
+        utils/roofline.py."""
         from ..ops.pallas.stencil2d import (
             cg2_coeffs,
             grid2d_cg_gram2,
@@ -533,6 +541,7 @@ class StencilOperator:
         interpret = jax.default_backend() == "cpu"
         kw = dict(offsets=offs, values=vals, interpret=interpret)
         K, odd = divmod(num_iterations, 2)
+        refresh = int(os.environ.get("LEGIONSOLVERS_SSTEP_REFRESH", "16"))
 
         def local_run(x, r, p, rr0):
             was_flat = x.ndim == 1
@@ -544,6 +553,14 @@ class StencilOperator:
 
             def body(k, carry):
                 x, r, p, g, hist = carry
+                if refresh > 0 and K > refresh:
+                    # drift guard: re-measure the Gram from the stored
+                    # vectors instead of trusting the chained recurrence
+                    g = jax.lax.cond(
+                        (k % refresh == 0) & (k > 0),
+                        lambda: grid2d_cg_gram2(r, p, **kw),
+                        lambda: g,
+                    )
                 coef, rr1, _ = cg2_coeffs(g)
                 x, r, p, g = grid2d_cg_step2(x, r, p, coef, **kw)
                 hist = hist.at[2 * k + 1].set(rr1)

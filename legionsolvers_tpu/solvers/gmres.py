@@ -162,17 +162,25 @@ class GMRESSolver:
                 V = V.at[j + 1].set(w * scale)
             y = _least_squares_givens(H, jnp.sqrt(beta2))
             x = x + jnp.tensordot(y, V[:m], axes=1, precision=hi)
-            return x, beta2
+            return x, beta2, V, H
 
         def run(x, b):
             history = jnp.zeros(num_cycles, dtype)
+            n_shape = x.shape
+            V0 = jnp.zeros((m + 1,) + n_shape, dtype)
+            H0 = jnp.zeros((m + 1, m), dtype)
 
             def body(i, carry):
-                x, history = carry
-                x, beta2 = cycle(x, b, i)
-                return x, history.at[i].set(beta2)
+                x, _, _, history = carry
+                x, beta2, V, H = cycle(x, b, i)
+                return x, V, H, history.at[i].set(beta2)
 
-            return jax.lax.fori_loop(0, num_cycles, body, (x, history))
+            # the final cycle's basis and Hessenberg ride out of the loop so
+            # solve() can reconcile the planner workspace / inner_products
+            # with the transcription path's observable state
+            return jax.lax.fori_loop(
+                0, num_cycles, body, (x, V0, H0, history)
+            )
 
         return jax.jit(run)
 
@@ -183,8 +191,14 @@ class GMRESSolver:
 
         Single-space single-operator systems run on the batched CGS2 fast
         path (:meth:`_make_fused_runner`); its Hessenberg entries differ
-        from the MGS transcription only by f32 rounding.  The workspace
-        basis vectors are left untouched by the fast path."""
+        from the MGS transcription only by f32 rounding.  Observable state
+        after ``solve()`` matches the transcription path: the workspace
+        basis vectors hold the final cycle's Krylov basis and
+        ``inner_products`` holds its Hessenberg entries — with one
+        documented difference: the last basis vector (slot ``restart``) is
+        normalized on the fast path, while the MGS transcription leaves it
+        unnormalized (reference: GMRESSolver.hpp:92-107 never rescales the
+        final vector)."""
         planner = self.planner
         if use_jit and num_cycles >= 1:
             fkey = (num_cycles, "fused")
@@ -194,13 +208,22 @@ class GMRESSolver:
             if frun is not None:
                 xv = planner.get_vector(self.SOL, 0)
                 bv = planner.get_vector(self.RHS, 0)
-                x_new, history = frun(xv.data, bv.data)
+                x_new, V, H, history = frun(xv.data, bv.data)
                 xv.data = x_new
+                # reconcile observable state with the transcription path:
+                # basis slots 1..m hold the final cycle's Krylov basis ...
+                for i in range(1, self.restart + 1):
+                    planner.get_vector(self.krylov_basis(i), 0).data = V[i]
+                # lazy rows: no per-element device dispatch unless read
+                self.inner_products = [
+                    ScalarHistory(H[k]) for k in range(self.restart + 1)
+                ]
                 self.residual_norm_squared = ScalarHistory(history)
-                # closing residual after the last cycle (same contract as
-                # the transcription path below)
+                # ... and slot 0 the closing unnormalized residual, exactly
+                # like the transcription path's final matvec/xpay below
                 op = planner.row_partitioned_matrices[0][0]
                 r = bv.data - op.matvec(x_new)
+                planner.get_vector(self.krylov_basis(0), 0).data = r
                 nd = r.ndim
                 rr_final = jnp.tensordot(
                     r, r, axes=nd, precision=jax.lax.Precision.HIGHEST
@@ -209,26 +232,42 @@ class GMRESSolver:
                     [history, jnp.reshape(rr_final, (1,))]
                 )
 
+        m = self.restart
+        dtype = planner.options.entry_dtype
+
         def body(i, carry):
-            state, history = carry
+            state, H, history = carry
             planner.load_state(state)
             self.residual_norm_squared = []
             self.step()
+            # thread the Hessenberg through the carry: step()'s Scalars are
+            # trace-local and would leak as dead tracers otherwise
+            H = jnp.stack([
+                jnp.stack([
+                    jnp.asarray(self.inner_products[k][j].value, dtype)
+                    for j in range(m)
+                ])
+                for k in range(m + 1)
+            ])
             history = history.at[i].set(self.residual_norm_squared[0].value)
-            return planner.dump_state(), history
+            return planner.dump_state(), H, history
 
         # fori_loop + in-place history, not lax.scan (see CGSolver.solve)
         def run_impl(state):
-            history = jnp.zeros(num_cycles, dtype=planner.options.entry_dtype)
-            return jax.lax.fori_loop(0, num_cycles, body, (state, history))
+            history = jnp.zeros(num_cycles, dtype=dtype)
+            H0 = jnp.zeros((m + 1, m), dtype=dtype)
+            return jax.lax.fori_loop(
+                0, num_cycles, body, (state, H0, history)
+            )
 
         key = (num_cycles, use_jit)
         run = self._solve_cache.get(key)
         if run is None:
             run = jax.jit(run_impl) if use_jit else run_impl
             self._solve_cache[key] = run
-        final_state, history = run(planner.dump_state())
+        final_state, H, history = run(planner.dump_state())
         planner.load_state(final_state)
+        self.inner_products = [ScalarHistory(H[k]) for k in range(m + 1)]
         # closing residual after the last cycle
         planner.matvec(self.krylov_basis(0), self.SOL)
         planner.xpay(self.krylov_basis(0), Scalar(-1.0), self.RHS)

@@ -51,6 +51,17 @@ CG_PASSES = {
 }
 
 
+def _sstep_refresh_passes() -> float:
+    """Amortized extra passes PER ITERATION for the s-step drift guard
+    (a gram2 re-measurement — 2 read passes — every REFRESH step2 passes,
+    each pass covering 2 iterations; see
+    StencilOperator._make_step2_cg_runner)."""
+    import os
+
+    refresh = int(os.environ.get("LEGIONSOLVERS_SSTEP_REFRESH", "16"))
+    return 1.0 / refresh if refresh > 0 else 0.0
+
+
 def operator_matvec_passes(op) -> int:
     """Vector-length HBM passes one y = A x costs for this operator: read x
     + write y = 2 for matrix-free stencils; + D coefficient streams for the
@@ -150,6 +161,8 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
     if name in ("CGSolver", "PCGSolver"):
         sched = cg_schedule(solver)
         passes = CG_PASSES[sched] + (extra if sched in ("fused_jnp", "classic") else 0)
+        if sched == "fused2d_x2":
+            passes = passes + _sstep_refresh_passes()
         label = sched if extra == 0 else f"{sched}+{extra}"
         return passes * itemsize * n, label
     if name == "BiCGStabSolver":

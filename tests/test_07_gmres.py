@@ -123,3 +123,40 @@ def test_gmres_fused_cgs2_matches_mgs(use_mesh, mesh4):
     np.testing.assert_allclose(
         p1.sol_vectors[0].to_numpy(), p2.sol_vectors[0].to_numpy(), rtol=1e-8
     )
+
+
+def test_gmres_fused_state_reconciled():
+    """After solve(), the fast path leaves the SAME observable state as the
+    MGS transcription: workspace basis vectors hold the final cycle's Krylov
+    basis and inner_products its Hessenberg — the one documented difference
+    is that slot ``restart`` is normalized on the fast path (the MGS loop
+    leaves it unnormalized, reference: GMRESSolver.hpp:92-107)."""
+    n, m = 60, 5
+    A = coo_negative_laplacian_1d(n, options=F64)
+
+    p1 = build(A, n, 1, None)
+    s1 = GMRESSolver(p1, restart=m)
+    assert s1._make_fused_runner(1) is not None
+    s1.solve(3)
+
+    p2 = build(A, n, 1, None)
+    s2 = GMRESSolver(p2, restart=m)
+    s2.solve(3, use_jit=False)
+
+    H1 = np.array([[float(s1.inner_products[i][j].value) for j in range(m)]
+                   for i in range(m + 1)])
+    H2 = np.array([[float(s2.inner_products[i][j].value) for j in range(m)]
+                   for i in range(m + 1)])
+    np.testing.assert_allclose(H1, H2, rtol=1e-8, atol=1e-12)
+    # slot 0 = closing unnormalized residual on BOTH paths (the
+    # transcription's final matvec/xpay overwrites it)
+    for i in range(m):
+        v1 = np.asarray(p1.get_vector(s1.krylov_basis(i), 0).data)[:n]
+        v2 = np.asarray(p2.get_vector(s2.krylov_basis(i), 0).data)[:n]
+        np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-10)
+    # last slot: same direction, fast path normalized
+    v1 = np.asarray(p1.get_vector(s1.krylov_basis(m), 0).data)[:n]
+    v2 = np.asarray(p2.get_vector(s2.krylov_basis(m), 0).data)[:n]
+    np.testing.assert_allclose(np.linalg.norm(v1), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(v1 * np.linalg.norm(v2), v2, rtol=1e-6,
+                               atol=1e-10)

@@ -173,3 +173,16 @@ def test_benchmark_block_smoke(capsys):
           "--dtype", "float64"])
     out = capsys.readouterr().out
     assert "ms per iteration" in out
+
+
+@pytest.mark.parametrize("solver", [2, 3])
+def test_benchmark_other_solvers_smoke(capsys, solver):
+    """benchmark.py -solver 2|3 runs end-to-end on CPU (regression: the
+    scalar-state snapshot must skip BiCGStab's residual_norm_squared METHOD,
+    which broke every BiCGStab row of the round-2 on-chip matrix)."""
+    from legionsolvers_tpu.benchmark import main
+
+    main(["-dim", "1", "-nx", "256", "-solver", str(solver), "-vp", "1",
+          "-it", "6", "--dtype", "float64"])
+    out = capsys.readouterr().out
+    assert "ms per iteration" in out

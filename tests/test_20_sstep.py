@@ -188,4 +188,24 @@ def test_sstep_schedule_reported():
     solver = CGSolver(planner)
     bpi, sched = solver_bytes_per_iteration(solver, 64 * 128)
     assert sched == "fused2d_x2"
-    assert bpi == 12 * 64 * 128
+    # 12 B/unknown/iter + the amortized gram2 drift-guard re-measurement
+    # (1/REFRESH passes per iteration, default REFRESH=16)
+    assert bpi == pytest.approx((12 + 4 / 16) * 64 * 128)
+
+
+def test_sstep_gram_refresh_matches_classic(monkeypatch):
+    """With an aggressive refresh interval the trajectory must still track
+    classic CG (wiring check for the lax.cond gram2 re-measurement), and the
+    history entry right after a refresh is the measured <r, r>."""
+    monkeypatch.setenv("LEGIONSOLVERS_SSTEP_REFRESH", "2")
+    planner, op = build((64, 128))
+    solver = CGSolver(planner)
+    h2 = np.asarray(solver.solve(20))  # K=10 passes > refresh=2 -> refreshes
+
+    monkeypatch.setenv("LEGIONSOLVERS_NO_SSTEP", "1")
+    planner1, op1 = build((64, 128))
+    h1 = np.asarray(CGSolver(planner1).solve(20))
+    np.testing.assert_allclose(h2, h1, rtol=5e-4)
+    x2 = planner.sol_vectors[0].to_numpy()
+    x1 = planner1.sol_vectors[0].to_numpy()
+    np.testing.assert_allclose(x2, x1, rtol=0, atol=2e-3 * np.abs(x1).max())
