@@ -726,10 +726,10 @@ class StencilOperator:
 
         fns = {}  # jitted shard_map per input layout (flat vs grid)
 
-        def runner(x, r, p, rr0):
-            fn = fns.get(x.ndim)
+        def build(ndim):
+            fn = fns.get(ndim)
             if fn is None:
-                spec = P(SHARD_AXIS, *([None] * (x.ndim - 1)))
+                spec = P(SHARD_AXIS, *([None] * (ndim - 1)))
                 fn = jax.jit(
                     jax.shard_map(
                         local_run,
@@ -739,9 +739,16 @@ class StencilOperator:
                         check_vma=False,
                     )
                 )
-                fns[x.ndim] = fn
-            return fn(x, r, p, jnp.asarray(rr0, jnp.float32))
+                fns[ndim] = fn
+            return fn
 
+        def runner(x, r, p, rr0):
+            return build(x.ndim)(x, r, p, jnp.asarray(rr0, jnp.float32))
+
+        # exposed for AOT inspection (scripts/dump_overlap_hlo.py lowers the
+        # jitted shard_map against a device-less TPU topology to check the
+        # compiled schedule without executing)
+        runner.build = build
         return runner
 
     def _make_pallas3d_cg_runner(self, num_iterations: int):
