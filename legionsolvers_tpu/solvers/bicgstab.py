@@ -54,8 +54,10 @@ class BiCGStabSolver:
         temp = planner.dot(self.R_TILDE, self.V)
         planner.axpy(self.R, Scalar(-1.0), self.rho[-1], temp, self.V)
         self.alpha.append(self.rho[-1] / temp)
-        planner.matvec(self.U, self.R)
-        r_anorm2 = planner.dot(self.R, self.U)
+        # U = A R with <R, A R> fused into the SpMV pass (saves re-reading
+        # R and U for the omega numerator; planner falls back to
+        # matvec + dot when the operator can't fuse)
+        r_anorm2 = planner.matvec_dot(self.U, self.R)
         u_norm2 = planner.dot(self.U, self.U)
         self.omega.append(r_anorm2 / u_norm2)
         planner.axpy(self.SOL, self.alpha[-1], self.P)

@@ -29,10 +29,12 @@ CG schedules (see solvers/cg.py, parallel/stencil_op.py):
   reads) = 14 passes = 56 B/unknown.
 
 BiCGStab (solvers/bicgstab.py ``step``, assuming XLA fuses the adjacent
-axpy/xpay pairs and the two U dots into single passes): rho dot (2), p update
-(4), matvec V (2), r_tilde.V dot (2), R axpy (3), matvec U (2), R.U + U.U
-dots (2), two SOL axpys (4), R axpy (3), residual dot (1) = 25 passes
-= 100 B/unknown.
+axpy/xpay pairs — validated against the compiler's own traffic accounting
+by scripts/audit_traffic.py): rho dot (2), p update (4), matvec V (2),
+r_tilde.V dot (2), R axpy (3), U = A R via matvec_dot with <R, U> fused
+into the kernel (2), U.U dot (1), two SOL axpys (4), R axpy (3), residual
+dot (1) = 24 passes = 96 B/unknown when the operator fuses SpMV+dot, 25
+passes (separate <R, U> read-pass) otherwise.
 
 GMRES(m) per cycle (solvers/gmres.py ``step``): residual matvec + xpay +
 dot + scal (2+3+1+3 = 9); Arnoldi j = 0..m-1: matvec (2), j+1 dots (2 each),
@@ -110,8 +112,8 @@ def cg_bytes_per_unknown(schedule: str, itemsize: int = 4) -> float:
     return CG_PASSES[schedule] * itemsize
 
 
-def bicgstab_bytes_per_unknown(itemsize: int = 4) -> float:
-    return 25 * itemsize
+def bicgstab_bytes_per_unknown(itemsize: int = 4, fused: bool = True) -> float:
+    return (24 if fused else 25) * itemsize
 
 
 def gmres_passes(m: int) -> int:
@@ -166,7 +168,11 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
         label = sched if extra == 0 else f"{sched}+{extra}"
         return passes * itemsize * n, label
     if name == "BiCGStabSolver":
-        return (25 + 2 * extra) * itemsize * n, "bicgstab"
+        fused = all(
+            getattr(op, "supports_matvec_dot", False) for op in ops
+        ) and len(ops) == solver.planner.num_spaces
+        passes = (24 if fused else 25) + 2 * extra
+        return passes * itemsize * n, ("bicgstab_fused" if fused else "bicgstab")
     if name == "GMRESSolver":
         m = solver.restart
         fused = solver._make_fused_runner(1) is not None

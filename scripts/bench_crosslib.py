@@ -112,9 +112,12 @@ def ours_ms_per_iter(shape, dim, solver_id, iters) -> tuple[float, float]:
             setattr(solver, key, list(v))
         return solver.solve(k)
 
-    short = max(units // 5, 1)
-    run(short), run(units)
-    sec = marginal_seconds_per_iter(run, short, units)
+    # marginal window of 4x the base unit count: at crosslib sizes (n ~ 4M)
+    # one iteration is ~0.1 ms, so a units//5..units window drowns in the
+    # dispatch relay's ~ms noise floor (round-2 runs printed 0.000 rows)
+    long_units = units * 5
+    run(units), run(long_units)
+    sec = marginal_seconds_per_iter(run, units, long_units)
     hist = np.asarray(run(units))
     return sec * 1e3, float(hist[-1])
 
@@ -125,8 +128,18 @@ def main() -> None:
     p.add_argument("--json", default=None, help="append JSON records here")
     p.add_argument("--cpu", action="store_true",
                    help="force the jax side onto CPU too")
+    p.add_argument("--reuse-scipy", default=None, metavar="JSONL",
+                   help="take scipy_ms from a previous --json record file "
+                   "instead of re-running the (slow) scipy side")
     args = p.parse_args()
     cases = CASES_SMALL if args.sizes == "small" else CASES_BENCH
+
+    scipy_cache = {}
+    if args.reuse_scipy:
+        with open(args.reuse_scipy) as f:
+            for line in f:
+                r = json.loads(line)
+                scipy_cache[(r["dim"], r["n"], r["solver"])] = r["scipy_ms"]
 
     import jax
 
@@ -146,16 +159,20 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     for dim, shape in cases:
         n = int(np.prod(shape))
-        A = create_coo_stencil_matrix(
-            shape, laplacian_stencil(dim),
-            options=SolverOptions(entry_dtype=jnp.float64),
-        )
-        A_sp = scipy.sparse.csr_matrix(
-            (np.asarray(A.vals), (A.rows, A.cols)), shape=(n, n)
-        )
+        A_sp = None  # built lazily: skipped entirely under --reuse-scipy
         b = np.ones(n)
         for sid, sname in SOLVERS:
-            sc = scipy_ms_per_iter(A_sp, b, sname, ITERS)
+            sc = scipy_cache.get((dim, n, sname))
+            if sc is None:
+                if A_sp is None:
+                    A = create_coo_stencil_matrix(
+                        shape, laplacian_stencil(dim),
+                        options=SolverOptions(entry_dtype=jnp.float64),
+                    )
+                    A_sp = scipy.sparse.csr_matrix(
+                        (np.asarray(A.vals), (A.rows, A.cols)), shape=(n, n)
+                    )
+                sc = scipy_ms_per_iter(A_sp, b, sname, ITERS)
             ours, res = ours_ms_per_iter(shape, dim, sid, ITERS)
             unit = "cycle" if sid == 3 else "iter"
             print(f"| {dim} | {n} | {sname} | {sc:.3f} | {ours:.3f} "
