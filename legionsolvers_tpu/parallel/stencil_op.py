@@ -491,18 +491,26 @@ class StencilOperator:
     @property
     def step2_eligible(self) -> bool:
         """Whether the s-step (2 iterations / pass, 12 B/unknown/iter)
-        fused-CG schedule applies: single shard, 2-D Pallas view with row
-        bandwidth <= 1 and lane offsets within one pad block, not disabled
-        via LEGIONSOLVERS_NO_SSTEP.  Sharded runs keep the 1-step schedule
-        (its halo exchange needs only +-bandwidth rows; s-step would need
-        4x that and a fixup spanning two applications)."""
+        fused-CG schedule applies: 2-D Pallas view with row bandwidth <= 1
+        and lane offsets within one pad block, not disabled via
+        LEGIONSOLVERS_NO_SSTEP.  Sharded runs qualify too (mesh required,
+        local blocks of >= 16 rows): the pass stays zero-halo/overlappable
+        and the 4-row-deep edge corruption of the outputs AND the Gram is
+        repaired from pre-exchanged input halos
+        (parallel/sstep_sharded.py)."""
         if os.environ.get("LEGIONSOLVERS_NO_SSTEP"):
             return False
         v = self._view
         if v is None or v.get("kind") == "3d":
             return False
         if self.partition.num_pieces > 1:
-            return False
+            if self.mesh is None:
+                return False
+            from .sstep_sharded import STRIP
+
+            # the two edge-fixup strips must not overlap
+            if v["Br"] < 2 * STRIP:
+                return False
         from ..ops.pallas.stencil2d import step2_supported
 
         itemsize = jnp.dtype(self.options.entry_dtype).itemsize
@@ -542,6 +550,42 @@ class StencilOperator:
         kw = dict(offsets=offs, values=vals, interpret=interpret)
         K, odd = divmod(num_iterations, 2)
         refresh = int(os.environ.get("LEGIONSOLVERS_SSTEP_REFRESH", "16"))
+        S = self.partition.num_pieces
+        sharded = S > 1
+
+        from .sstep_sharded import (
+            STRIP,
+            exchange_halo4,
+            gram2_fixup,
+            step2_fixup,
+        )
+        from .overlap import dot_fixup, apply_edge_fixup
+
+        def sharded_gram2(r, p):
+            halos = exchange_halo4(r, p, SHARD_AXIS, S)
+            g = grid2d_cg_gram2(r, p, **kw)
+            g = gram2_fixup(g, r, p, halos, offs, vals, SHARD_AXIS, S)
+            return jax.lax.psum(g, SHARD_AXIS)
+
+        def gram_bootstrap(r, p):
+            if sharded:
+                return sharded_gram2(r, p)
+            return grid2d_cg_gram2(r, p, **kw)
+
+        def step2_pass(x, r, p, coef):
+            """One zero-halo step2 pass; sharded runs pre-exchange 4-row
+            input halos (flying under the pass — parallel/overlap.py) and
+            repair the edge corruption + Gram afterwards."""
+            if not sharded:
+                return grid2d_cg_step2(x, r, p, coef, **kw)
+            halos = exchange_halo4(r, p, SHARD_AXIS, S)
+            saves = (x[:STRIP], r[:STRIP], p[:STRIP],
+                     x[-STRIP:], r[-STRIP:], p[-STRIP:])
+            x, r, p, g = grid2d_cg_step2(x, r, p, coef, **kw)
+            x, r, p, g = step2_fixup(
+                (x, r, p, g), saves, halos, coef, offs, vals, SHARD_AXIS, S
+            )
+            return x, r, p, jax.lax.psum(g, SHARD_AXIS)
 
         def local_run(x, r, p, rr0):
             was_flat = x.ndim == 1
@@ -549,7 +593,7 @@ class StencilOperator:
                 x, r, p = (a.reshape(Br, C) for a in (x, r, p))
             rr0 = jnp.asarray(rr0, jnp.float32)
             hist = jnp.zeros(num_iterations + 1, jnp.float32).at[0].set(rr0)
-            g = grid2d_cg_gram2(r, p, **kw)
+            g = gram_bootstrap(r, p)
 
             def body(k, carry):
                 x, r, p, g, hist = carry
@@ -558,11 +602,11 @@ class StencilOperator:
                     # vectors instead of trusting the chained recurrence
                     g = jax.lax.cond(
                         (k % refresh == 0) & (k > 0),
-                        lambda: grid2d_cg_gram2(r, p, **kw),
+                        lambda: gram_bootstrap(r, p),
                         lambda: g,
                     )
                 coef, rr1, _ = cg2_coeffs(g)
-                x, r, p, g = grid2d_cg_step2(x, r, p, coef, **kw)
+                x, r, p, g = step2_pass(x, r, p, coef)
                 hist = hist.at[2 * k + 1].set(rr1)
                 hist = hist.at[2 * k + 2].set(g[0])
                 return x, r, p, g, hist
@@ -571,16 +615,65 @@ class StencilOperator:
                 0, K, body, (x, r, p, g, hist)
             )
             if odd:
-                z = jnp.zeros((8, C), p.dtype)
                 alpha = g[0] / g[1]
-                x, r, rr_new = grid2d_cg_update(p, x, r, alpha, z, z, **kw)
+                if sharded:
+                    # once-per-solve tail: exchange +-1 p rows, zero-halo
+                    # update + edge/dot fixup (overlap preserved)
+                    rt, pt, rb, pb = exchange_halo4(r, p, SHARD_AXIS, S)
+                    top = jnp.zeros((8, C), p.dtype).at[8 - 4 :, :].set(pt)
+                    bot = jnp.zeros((8, C), p.dtype).at[:4, :].set(pb)
+                    z = jnp.zeros((8, C), p.dtype)
+                    x, r, rr_loc = grid2d_cg_update(p, x, r, alpha, z, z, **kw)
+                    coeff = lambda kk, sl: jnp.asarray(vals[kk], p.dtype)
+                    miss_alpha = alpha.astype(p.dtype)
+                    # r = r_kernel + alpha * (omitted A p edge terms)? the
+                    # update subtracts alpha*A p, so add back the omitted
+                    # terms with -alpha
+                    from .overlap import edge_missing
+
+                    mt, mb = edge_missing(offs, top, bot, Br, coeff)
+                    if mt is not None:
+                        r = r.at[: mt.shape[0]].add(-miss_alpha * mt)
+                    if mb is not None:
+                        r = r.at[Br - mb.shape[0] :].add(-miss_alpha * mb)
+                    rr_new = jax.lax.psum(
+                        jnp.sum((r * r).astype(jnp.float32)), SHARD_AXIS
+                    )
+                else:
+                    z = jnp.zeros((8, C), p.dtype)
+                    x, r, rr_new = grid2d_cg_update(p, x, r, alpha, z, z, **kw)
                 hist = hist.at[num_iterations].set(rr_new)
                 p = r + (rr_new / g[0]).astype(p.dtype) * p
             if was_flat:
                 x, r, p = (a.reshape(-1) for a in (x, r, p))
             return x, r, p, hist
 
-        return jax.jit(local_run)
+        if not sharded:
+            return jax.jit(local_run)
+
+        fns = {}
+
+        def build(ndim):
+            fn = fns.get(ndim)
+            if fn is None:
+                spec = P(SHARD_AXIS, *([None] * (ndim - 1)))
+                fn = jax.jit(
+                    jax.shard_map(
+                        local_run,
+                        mesh=self.mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=(spec, spec, spec, P()),
+                        check_vma=False,
+                    )
+                )
+                fns[ndim] = fn
+            return fn
+
+        def runner(x, r, p, rr0):
+            return build(x.ndim)(x, r, p, jnp.asarray(rr0, jnp.float32))
+
+        runner.build = build
+        return runner
 
     def make_fused_cg_runner(self, num_iterations: int):
         """Build a compiled CG loop where each iteration is two fused Pallas

@@ -181,3 +181,66 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
         label = f"gmres{m}_cgs2" if fused else f"gmres{m}_mgs"
         return passes * itemsize * n, label
     raise ValueError(f"no traffic model for {name}")
+
+
+# ---------------------------------------------------------------------------
+# VPU compute roofline (the axis that actually binds the s-step kernel).
+#
+# Round-3 profile finding (scripts/profile_sstep.py, committed in
+# PROFILE_r03.md): the step2 pass streams at ~438-468 GB/s while a
+# same-traffic triad achieves 652 GB/s of the 687 GB/s measured roofline —
+# the pass is VPU-compute-bound.  "Fraction of the STREAMING roofline" then
+# under-promises what is achievable; the binding bound is
+# max(stream_time, compute_time).  The compute model below counts VPU
+# operations per element analytically and converts with rates measured by
+# an INDEPENDENT probe (scripts/probe_vpu.py, committed as VPU_RATES.json),
+# so the bound is auditable rather than fitted to the kernel itself.
+# ---------------------------------------------------------------------------
+
+def sstep_vpu_op_counts(offsets, values) -> dict:
+    """Per-element VPU op counts for ONE step2 pass (TWO CG iterations).
+
+    Counts (see ops/pallas/stencil2d._sstep_call kernel body):
+    * 5 stencil applications (Ap, Au, Ap'', A**2 p'', Ar''), each costing
+      per offset: 1 arith (add/sub for +-1 coefficients, 2 for general), a
+      lane roll when dx != 0, a sublane row shift when dy != 0;
+    * 3 mask multiplies (the out-of-grid/pad re-zeroing between chained
+      applications; the mask itself lives in scratch since r3);
+    * ~13 linear-combination ops (u3, rn, pn, x'' updates);
+    * 10 Gram dots: 1 multiply + ~1 reduce-add each.
+    """
+    n_apply = 5
+    arith = rolls = rows = 0
+    for (dy, dx), v in zip(offsets, values):
+        arith += 1 if v in (1.0, -1.0) else 2
+        rolls += 1 if dx != 0 else 0
+        rows += 1 if dy != 0 else 0
+    return {
+        "arith": n_apply * arith + 3 + 13 + 20,
+        "roll": n_apply * rolls,
+        "row": n_apply * rows,
+    }
+
+
+def compute_seconds_per_element(op_counts: dict, rates: dict) -> float:
+    """Seconds/element from op counts and probe_vpu.py rates.
+
+    ``rates``: {"vpu_fma_ops_per_s": flops/s of a pure fma chain,
+    "vpu_roll_plus_add_reps_per_s", "vpu_row_shift_add_reps_per_s"}.
+    An 'arith' op is charged at half the fma flop rate (1 instruction);
+    roll/row are charged at their measured rep rates minus the bundled
+    add's cost."""
+    t_arith = 1.0 / (rates["vpu_fma_ops_per_s"] / 2.0)
+    t_roll = max(1.0 / rates["vpu_roll_plus_add_reps_per_s"] - t_arith, 0.0)
+    t_row = max(1.0 / rates["vpu_row_shift_add_reps_per_s"] - t_arith, 0.0)
+    return (op_counts["arith"] * t_arith + op_counts["roll"] * t_roll
+            + op_counts["row"] * t_row)
+
+
+def sstep_compute_seconds_per_iteration(offsets, values, n, rates) -> float:
+    """Compute-roofline seconds per CG ITERATION for the s-step schedule
+    (one pass = two iterations)."""
+    per_elt = compute_seconds_per_element(
+        sstep_vpu_op_counts(offsets, values), rates
+    )
+    return per_elt * n / 2.0

@@ -121,9 +121,14 @@ def main():
 
     planner, solver, n = build_system(CGSolver)
     # audit the STEP path (the fused Pallas runners carry their own
-    # validated cost estimates; the step path is the XLA-fused one)
-    rows.append(("CG step()",)
-                + audit_step(planner, solver, ("residual_norm_squared",), n))
+    # validated cost estimates; the step path is the XLA-fused one), so
+    # compare against the step-path model (fused_jnp: matvec_dot 2 +
+    # axpy 3 + axpy 3 + dot 1 + xpay 3 = 12), NOT the solve() schedule
+    audited, _, _ = audit_step(planner, solver,
+                               ("residual_norm_squared",), n)
+    from legionsolvers_tpu.utils.roofline import CG_PASSES
+    rows.append(("CG step()", audited, float(CG_PASSES["fused_jnp"]),
+                 "fused_jnp"))
 
     planner, solver, n = build_system(BiCGStabSolver)
     rows.append(("BiCGStab step()",)
@@ -155,7 +160,12 @@ def main():
         "count.  Single-iteration compiles cannot see cross-iteration "
         "fusion, so audited slightly above model is expected; audited far "
         "ABOVE model would mean the model under-counts (overstated "
-        "roofline %).",
+        "roofline %).  Audited BELOW model means XLA fuses better than "
+        "the hand count — the model is then conservative and the reported "
+        "% of roofline for that schedule is optimistic by the same "
+        "factor (observed for the MGS GMRES transcription, whose "
+        "sequential-looking dot/axpy chain XLA partially merges; the "
+        "benchmark matrix runs the CGS2 fast path, not this one).",
         "",
         "| schedule | model passes | audited passes | ratio |",
         "|---|---|---|---|",
