@@ -76,12 +76,37 @@ def main() -> None:
 
     ms_per_iter = sec_per_iter * 1e3
     nnz_per_s = nnz / sec_per_iter
-    sol_ms = bytes_per_iter / bw * 1e3
-    vs_baseline = sol_ms / ms_per_iter  # fraction of speed-of-light
+    stream_ms = bytes_per_iter / bw * 1e3
+    # The s-step schedule is VPU-compute-bound, not HBM-bound (committed
+    # profile: PROFILE_r03.md — step2 streams at 438 GB/s vs 652 GB/s for a
+    # same-traffic triad), so the binding speed-of-light is
+    # max(stream, compute); the compute side is an analytic op count
+    # (utils/roofline.sstep_vpu_op_counts) calibrated by the independent
+    # VPU probe (scripts/probe_vpu.py -> VPU_RATES.json).
+    compute_ms = None
+    if schedule.startswith("fused2d_x2"):
+        from legionsolvers_tpu.utils import vpu_probe
+        from legionsolvers_tpu.utils.roofline import (
+            sstep_compute_seconds_per_iteration,
+        )
 
+        rates = vpu_probe.load_or_measure()
+        if rates is not None:
+            op = planner.row_partitioned_matrices[0][0]
+            v = op._view
+            compute_ms = sstep_compute_seconds_per_iteration(
+                v["offs"], v["vals"], n, rates
+            ) * 1e3
+    sol_ms = max(stream_ms, compute_ms or 0.0)
+    vs_baseline = sol_ms / ms_per_iter  # fraction of the BINDING roofline
+
+    binding = ("compute" if compute_ms and compute_ms > stream_ms
+               else "stream")
+    comp_txt = f", compute-SOL {compute_ms:.3f} ms" if compute_ms else ""
     print(
         f"[bench] 2-D 5-pt CG, n={n} ({N_GRID}x{N_GRID}), f32, 1 chip: "
-        f"{ms_per_iter:.3f} ms/iter (stream-SOL {sol_ms:.3f} ms), "
+        f"{ms_per_iter:.3f} ms/iter (stream-SOL {stream_ms:.3f} ms"
+        f"{comp_txt}; binding: {binding}), "
         f"{nnz_per_s/1e9:.2f} Gnnz/s, residual2[{SHORT_ITERS}] "
         f"{float(np.asarray(hist)[-1]):.4g}",
         file=sys.stderr,

@@ -138,8 +138,28 @@ def main(argv=None, bw=None):
         f"dtype={args.dtype}: residual2[{args.it}]={hist[-1]:.4g}",
         file=sys.stderr,
     )
-    pct = 100 * (bytes_per_iter / bw * 1e3) / ms if bw is not None else None
-    roofline = f", {pct:.1f}% of stream roofline" if pct is not None else ""
+    pct = None
+    binding = "stream"
+    if bw is not None:
+        sol_ms = bytes_per_iter / bw * 1e3
+        # s-step schedule: the binding roofline is max(stream, compute) —
+        # see PROFILE_r03.md and utils/roofline.py's VPU model
+        if schedule.startswith("fused2d_x2"):
+            from .utils import vpu_probe
+            from .utils.roofline import sstep_compute_seconds_per_iteration
+
+            rates = vpu_probe.load_or_measure()
+            op0 = planner.row_partitioned_matrices[0][0]
+            view = getattr(op0, "_view", None)
+            if rates is not None and view is not None:
+                comp_ms = sstep_compute_seconds_per_iteration(
+                    view["offs"], view["vals"], n, rates
+                ) * 1e3
+                if comp_ms > sol_ms:
+                    sol_ms, binding = comp_ms, "compute"
+        pct = 100 * sol_ms / ms
+    roofline = (f", {pct:.1f}% of {binding} roofline"
+                if pct is not None else "")
     print(f"Achieved {ms:.6f} ms per iteration "
           f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s{roofline})")
     return {
@@ -154,6 +174,7 @@ def main(argv=None, bw=None):
         "schedule": schedule,
         "bytes_per_unknown": bytes_per_iter / n,
         "pct_roofline": pct,
+        "roofline_binding": binding,
         "final_residual2": float(hist[-1]),
     }
 

@@ -1,0 +1,97 @@
+"""VPU op-rate probe: calibrates the compute roofline of utils/roofline.py.
+
+The s-step CG pass is VPU-bound (PROFILE_r03.md), so the binding
+speed-of-light is ``max(stream_time, compute_time)``.  The compute side
+needs the VPU's sustained rates for the three op classes the kernel uses —
+plain arithmetic (fma chain), lane rolls, and sublane row shifts — measured
+by Pallas kernels that keep one tile VMEM-resident and loop the op chain
+with no HBM traffic per repetition.  Rates are hardware properties;
+``load_or_measure`` caches them in VPU_RATES.json at the repo root so
+benchmark runs don't re-pay the probe compiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TR, C = 256, 4096      # 4 MB tile: VMEM-resident, far above VPU latency
+SHORT, LONG = 64, 512  # chain lengths (reps inside the kernel)
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "kind", "interpret"))
+def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
+    """y = f^reps(x) with f one rep of the probed op class."""
+
+    def kernel(x_ref, y_ref):
+        v = x_ref[:, :]
+        for _ in range(reps):
+            if kind == "fma":
+                v = v * 1.000001 + 0.25
+            elif kind == "roll":
+                v = v + pltpu.roll(v, 1, 1)
+            else:  # row: sublane shift via slice of a concatenated pair
+                w = jax.lax.slice(
+                    jnp.concatenate([v, v], 0), (1, 0), (TR + 1, C)
+                )
+                v = v + w
+        y_ref[:, :] = v
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TR, C), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def _measure(kind: str) -> float:
+    """Reps/s (per element) for one op-class chain."""
+    from .timing import marginal_seconds_per_iter
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (TR, C), jnp.float32)
+    fns = {}
+    for reps in (SHORT, LONG):
+        f = lambda x, reps=reps: _chain_kernel(x, reps=reps, kind=kind)
+        jax.block_until_ready(f(x))
+        fns[reps] = f
+    sec = marginal_seconds_per_iter(lambda k: fns[k](x), SHORT, LONG)
+    return TR * C / sec
+
+
+def measure_rates() -> dict:
+    """{"vpu_fma_ops_per_s": flops/s of an fma chain (2 flops/rep),
+    "vpu_roll_plus_add_reps_per_s", "vpu_row_shift_add_reps_per_s"}."""
+    return {
+        "vpu_fma_ops_per_s": 2.0 * _measure("fma"),
+        "vpu_roll_plus_add_reps_per_s": _measure("roll"),
+        "vpu_row_shift_add_reps_per_s": _measure("row"),
+    }
+
+
+def load_or_measure(path: str | None = None) -> dict:
+    """Read cached rates (VPU_RATES.json) or measure and cache them.
+    Returns None off-TPU (no meaningful VPU to probe)."""
+    if jax.default_backend() != "tpu":
+        return None
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "VPU_RATES.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    rates = measure_rates()
+    try:
+        with open(path, "w") as f:
+            json.dump(rates, f, indent=1)
+    except OSError:
+        pass
+    return rates
