@@ -57,14 +57,15 @@ def main() -> None:
     bw = measure_stream_bandwidth()
     print(f"[bench] measured stream bandwidth: {bw/1e9:.0f} GB/s", file=sys.stderr)
 
-    init_state = planner.dump_state()
-    init_rr = solver.residual_norm_squared[-1]
+    # repeated runs re-derive the initial state (fills + reset) rather than
+    # snapshotting the planner — no second copy of the vectors stays live —
+    # and the fused runner consumes (donates) its x/r/p buffers in place
+    solver.donate_workspace = True
 
     def run(iters):
-        # identical work every run: restore vectors AND the residual scalar
-        # (a stale rr0 desynchronizes the CG recurrence -> divergence)
-        planner.load_state(init_state)
-        solver.residual_norm_squared = [init_rr]
+        for v in planner.sol_vectors:
+            v.zero_fill()
+        solver.reset()
         return solver.solve(iters)
 
     run(SHORT_ITERS), run(LONG_ITERS)  # compile both (cached scans)

@@ -516,7 +516,7 @@ class StencilOperator:
         itemsize = jnp.dtype(self.options.entry_dtype).itemsize
         return step2_supported(v["Br"], v["C"], v["offs"], itemsize)
 
-    def _make_step2_cg_runner(self, num_iterations: int):
+    def _make_step2_cg_runner(self, num_iterations: int, donate: bool = False):
         """s-step fused CG: one Pallas pass per TWO iterations (read x/r/p,
         write x''/r''/p'', 12 B/unknown/iteration) with both iterations'
         coefficients derived from the Gram matrix of {r, Ar, p, Ap, A^2p}
@@ -648,8 +648,9 @@ class StencilOperator:
                 x, r, p = (a.reshape(-1) for a in (x, r, p))
             return x, r, p, hist
 
+        dn = (0, 1, 2) if donate else ()
         if not sharded:
-            return jax.jit(local_run)
+            return jax.jit(local_run, donate_argnums=dn)
 
         fns = {}
 
@@ -664,7 +665,8 @@ class StencilOperator:
                         in_specs=(spec, spec, spec, P()),
                         out_specs=(spec, spec, spec, P()),
                         check_vma=False,
-                    )
+                    ),
+                    donate_argnums=dn,
                 )
                 fns[ndim] = fn
             return fn
@@ -675,7 +677,7 @@ class StencilOperator:
         runner.build = build
         return runner
 
-    def make_fused_cg_runner(self, num_iterations: int):
+    def make_fused_cg_runner(self, num_iterations: int, donate: bool = False):
         """Build a compiled CG loop where each iteration is two fused Pallas
         passes moving 32 B/unknown total (vs 48 for the classic
         matvec/dot/axpy/axpy/dot/xpay schedule), or — single-shard 2-D f32
@@ -697,11 +699,11 @@ class StencilOperator:
         if num_iterations < 1:
             raise ValueError("fused CG runner needs at least one iteration")
         if self._view is None:
-            return self._make_jnp_cg_runner(num_iterations)
+            return self._make_jnp_cg_runner(num_iterations, donate)
         if self._view.get("kind") == "3d":
-            return self._make_pallas3d_cg_runner(num_iterations)
+            return self._make_pallas3d_cg_runner(num_iterations, donate)
         if num_iterations >= 2 and self.step2_eligible:
-            return self._make_step2_cg_runner(num_iterations)
+            return self._make_step2_cg_runner(num_iterations, donate)
 
         from ..ops.pallas.stencil2d import (
             grid2d_cg_pq,
@@ -814,8 +816,9 @@ class StencilOperator:
                 x, r, p = (a.reshape(-1) for a in (x, r, p))
             return x, r, p, hist
 
+        dn = (0, 1, 2) if donate else ()
         if not sharded:
-            return jax.jit(local_run)
+            return jax.jit(local_run, donate_argnums=dn)
 
         fns = {}  # jitted shard_map per input layout (flat vs grid)
 
@@ -830,7 +833,8 @@ class StencilOperator:
                         in_specs=(spec, spec, spec, P()),
                         out_specs=(spec, spec, spec, P()),
                         check_vma=False,
-                    )
+                    ),
+                    donate_argnums=dn,
                 )
                 fns[ndim] = fn
             return fn
@@ -844,7 +848,7 @@ class StencilOperator:
         runner.build = build
         return runner
 
-    def _make_pallas3d_cg_runner(self, num_iterations: int):
+    def _make_pallas3d_cg_runner(self, num_iterations: int, donate: bool = False):
         """Fused CG over the 3-D plane-streaming kernels: each iteration is
         an XLA xpay (p = r + beta p, 12 B/elt) + a ``pq`` pass (<p, A p>
         with A p formed in VMEM, 4 B/elt) + an ``update`` pass (20 B/elt) —
@@ -895,8 +899,9 @@ class StencilOperator:
                 x, r, p = (a.reshape(-1) for a in (x, r, p))
             return x, r, p, hist
 
+        dn = (0, 1, 2) if donate else ()
         if not sharded:
-            return jax.jit(local_run)
+            return jax.jit(local_run, donate_argnums=dn)
 
         fns = {}
 
@@ -911,14 +916,15 @@ class StencilOperator:
                         in_specs=(spec, spec, spec, P()),
                         out_specs=(spec, spec, spec, P()),
                         check_vma=False,
-                    )
+                    ),
+                    donate_argnums=dn,
                 )
                 fns[x.ndim] = fn
             return fn(x, r, p, jnp.asarray(rr0, jnp.float32))
 
         return runner
 
-    def _make_jnp_cg_runner(self, num_iterations: int):
+    def _make_jnp_cg_runner(self, num_iterations: int, donate: bool = False):
         """Fallback whole-loop CG runner for geometries/dtypes without the
         Pallas view (3-D grids, fp64 goldens, padded tails): the classic
         6-op schedule with the matvec recomputed per iteration, compiled as
@@ -960,8 +966,9 @@ class StencilOperator:
                 x, r, p = (a.reshape(shape) for a in (x, r, p))
             return x, r, p, hist
 
+        dn = (0, 1, 2) if donate else ()
         if not sharded:
-            return jax.jit(local_run)
+            return jax.jit(local_run, donate_argnums=dn)
 
         fns = {}  # jitted shard_map per input layout (flat vs grid)
 
@@ -976,7 +983,8 @@ class StencilOperator:
                         in_specs=(spec, spec, spec, P()),
                         out_specs=(spec, spec, spec, P()),
                         check_vma=False,
-                    )
+                    ),
+                    donate_argnums=dn,
                 )
                 fns[x.ndim] = fn
             return fn(x, r, p, rr0)

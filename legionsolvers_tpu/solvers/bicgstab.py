@@ -42,6 +42,20 @@ class BiCGStabSolver:
         planner.zero_fill(self.V)
         self._solve_cache = {}
 
+    def reset(self) -> None:
+        """Re-derive the workspace state from the CURRENT sol/rhs vectors
+        (the constructor's initialization without reallocating; assumes the
+        caller zero-fills the solution vector for a from-scratch restart)."""
+        planner = self.planner
+        planner.copy(self.R, self.RHS)
+        planner.copy(self.R_TILDE, self.RHS)
+        dtype = planner.options.entry_dtype
+        self.rho = [Scalar(jnp.asarray(1.0, dtype))]
+        self.alpha = [Scalar(jnp.asarray(0.0, dtype))]
+        self.omega = [Scalar(jnp.asarray(1.0, dtype))]
+        planner.zero_fill(self.P)
+        planner.zero_fill(self.V)
+
     def step(self) -> None:
         """One BiCGStab iteration (reference: BiCGStabSolver.hpp:64-82)."""
         planner = self.planner

@@ -36,6 +36,20 @@ class CGSolver:
         self.residual_norm_squared: List[Scalar] = [planner.dot(self.R, self.R)]
         self._solve_cache = {}
 
+    def reset(self) -> None:
+        """Re-derive the workspace state from the CURRENT sol/rhs vectors —
+        the constructor's initialization without reallocating: P = R = b,
+        residual history = [<b, b>].  Callers restarting a solve from
+        scratch should ``zero_fill`` the solution vector first (the init
+        assumes x0 = 0, like the reference's tests).  This is the
+        memory-lean alternative to planner.dump_state snapshots for
+        repeated benchmark runs: no second copy of every vector stays
+        live, which is what bounds the max single-chip problem size."""
+        planner = self.planner
+        planner.copy(self.P, self.RHS)
+        planner.copy(self.R, self.RHS)
+        self.residual_norm_squared = [planner.dot(self.R, self.R)]
+
     def step(self) -> None:
         """One CG iteration (reference: CGSolver.hpp:46-55).  The q = A p
         product and the p.q reduction are fused into one kernel pass where
@@ -62,7 +76,11 @@ class CGSolver:
             return None
         if not getattr(op, "supports_fused_cg", False):
             return None
-        return op.make_fused_cg_runner(num_iterations)
+        donate = getattr(self, "donate_workspace", False)
+        try:
+            return op.make_fused_cg_runner(num_iterations, donate=donate)
+        except TypeError:  # operator predates the donate option
+            return op.make_fused_cg_runner(num_iterations)
 
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
         """Run ``num_iterations`` steps as one compiled ``lax.scan`` loop.
@@ -77,7 +95,8 @@ class CGSolver:
         """
         planner = self.planner
         if use_jit and num_iterations >= 1:
-            fkey = (num_iterations, "fused")
+            fkey = (num_iterations, "fused",
+                    getattr(self, "donate_workspace", False))
             if fkey not in self._solve_cache:
                 self._solve_cache[fkey] = self._make_fused_runner(
                     num_iterations

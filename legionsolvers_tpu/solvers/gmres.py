@@ -73,6 +73,16 @@ class GMRESSolver:
         """reference: GMRESSolver.hpp:80-82."""
         return i + 2
 
+    def reset(self) -> None:
+        """Clear the recorded Hessenberg/residual state (GMRES re-derives
+        everything else from sol/rhs at the start of each cycle)."""
+        self.inner_products = [
+            [Scalar(jnp.zeros((), self.planner.options.entry_dtype))]
+            * self.restart
+            for _ in range(self.restart + 1)
+        ]
+        self.residual_norm_squared = []
+
     def step(self) -> None:
         """One GMRES(m) cycle: residual, Arnoldi, least-squares update
         (reference: GMRESSolver.hpp:84-127, with the real solve)."""

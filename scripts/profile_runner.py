@@ -47,7 +47,7 @@ def main():
     print(f"CGSolver.solve    : {sec*1e3:.3f} ms/iter", flush=True)
 
     # the same compiled runners, called directly with raw arrays
-    fr = {k: solver._solve_cache.get((k, "fused")) for k in (SHORT, LONG)}
+    fr = {k: solver._solve_cache.get((k, "fused", False)) for k in (SHORT, LONG)}
     missing = [k for k, v in fr.items() if v is None]
     assert not missing, (
         f"no fused runner compiled for iters={missing} — this topology fell "

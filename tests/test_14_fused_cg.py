@@ -56,7 +56,7 @@ def solve_pair(shape, pieces, mesh, iters, grid=True):
     sf = CGSolver(pf)
     assert sf._solve_cache == {}
     hf = np.asarray(sf.solve(iters))
-    assert sf._solve_cache[(iters, "fused")] is not None  # fused was taken
+    assert sf._solve_cache[(iters, "fused", False)] is not None  # fused was taken
     return hg, pg.sol_vectors[0].to_numpy(), hf, pf.sol_vectors[0].to_numpy()
 
 
