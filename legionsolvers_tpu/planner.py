@@ -137,15 +137,27 @@ class SquarePlanner:
         ):
             import numpy as np
 
-            from .parallel.dia_op import MAX_DIAGONALS, DiaOperator
-
-            n_diags = len(
-                np.unique(
-                    np.asarray(matrix.cols, np.int64)
-                    - np.asarray(matrix.rows, np.int64)
-                )
+            from .native import bindings as native
+            from .parallel.dia_op import (
+                MAX_DIAGONALS,
+                MIN_DIA_FILL,
+                DiaOperator,
             )
-            if n_diags <= MAX_DIAGONALS:
+
+            # density-aware gate: DIA per-nnz traffic is constant in the
+            # diagonal count, so many-diagonal banded matrices still get
+            # the streaming kernel; only low-FILL diagonals (mostly-zero
+            # coefficient arrays) make DIA lose to ELL
+            uoffs = native.dia_unique_offsets(
+                np.asarray(matrix.rows, np.int64),
+                np.asarray(matrix.cols, np.int64),
+                MAX_DIAGONALS,
+            )
+            if (
+                uoffs is not None
+                and matrix.n_kernel
+                >= MIN_DIA_FILL * len(uoffs) * rp.padded_size
+            ):
                 dist = DiaOperator(
                     matrix, partition=rp, mesh=self.mesh, options=self.options
                 )
