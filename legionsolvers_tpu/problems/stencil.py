@@ -71,15 +71,24 @@ def stencil_coo_arrays(shape: Sequence[int], offsets: Stencil):
 
     from ..native import stencil_fill_coo as _native_fill
 
+    # Pre-sort the offsets by their LINEAR offset: the fill enumerates grid
+    # points in row order and offsets in the given order per point, so the
+    # emitted stream is then already (row, col)-sorted and the O(nnz log
+    # nnz) global lexsort (measured ~850 s at n = 2^28) disappears.
+    lin = np.asarray(
+        [linear_offset(shape, o) for o, _ in offsets], np.int64
+    )
+    oorder = np.argsort(lin, kind="stable")
+    offs_sorted = [offsets[int(i)] for i in oorder]
     res = _native_fill(
         np.asarray(shape, np.int64),
-        np.asarray([o for o, _ in offsets], np.int64).reshape(len(offsets), -1),
-        np.asarray([v for _, v in offsets], np.float64),
+        np.asarray([o for o, _ in offs_sorted], np.int64).reshape(
+            len(offsets), -1),
+        np.asarray([v for _, v in offs_sorted], np.float64),
     )
     if res is not None:
         rows, cols, vals = res
-        order = np.lexsort((cols, rows))
-        return rows[order], cols[order], vals[order], n
+        return rows, cols, vals, n
 
     strides = _strides(shape)
     rows_l, cols_l, vals_l = [], [], []
