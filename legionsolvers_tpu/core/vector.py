@@ -53,6 +53,7 @@ class PartitionedVector:
         data: Optional[jnp.ndarray] = None,
         options: SolverOptions = DEFAULT_OPTIONS,
         grid_shape: Optional[tuple] = None,
+        lazy: bool = False,
     ):
         """``grid_shape``: optional N-D layout for the vector's data.  For
         grid (stencil) problems, storing the vector in its natural grid shape
@@ -77,12 +78,30 @@ class PartitionedVector:
                     "grid_shape[0] must be divisible by the piece count"
                 )
         self.grid_shape = grid_shape
-        if data is None:
+        if data is None and not lazy:
             shape = grid_shape or (partition.padded_size,)
             data = jnp.zeros(shape, dtype=options.entry_dtype)
             if mesh is not None:
                 data = jax.device_put(data, self.sharding)
-        self.data = data
+        self._data = data
+
+    # ``data`` materializes lazily: workspace vectors a solver never
+    # touches (e.g. Q on the fused CG path) then cost no device memory —
+    # this is what lets the max single-chip problem size match vector-count
+    # accounting rather than allocation accounting.
+    @property
+    def data(self):
+        if self._data is None:
+            shape = self.grid_shape or (self.partition.padded_size,)
+            d = jnp.zeros(shape, dtype=self.options.entry_dtype)
+            if self.mesh is not None:
+                d = jax.device_put(d, self.sharding)
+            self._data = d
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
@@ -155,7 +174,9 @@ class PartitionedVector:
         return self
 
     def zero_fill(self) -> "PartitionedVector":
-        self.data = jnp.zeros_like(self.data)
+        # return to the lazy state: zeros materialize on first read, so a
+        # zero_fill followed by a full overwrite allocates nothing
+        self._data = None
         return self
 
     def random_fill(self, key=None, lo=0.0, hi=1.0) -> "PartitionedVector":

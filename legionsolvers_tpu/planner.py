@@ -98,6 +98,10 @@ class SquarePlanner:
                         mesh=self.mesh,
                         options=self.options,
                         grid_shape=self.canonical_grid_shapes[i],
+                        # materialized on first touch: solvers that never
+                        # read a workspace vector (Q on the fused CG path)
+                        # pay no device memory for it
+                        lazy=True,
                     )
                     for i in range(self.num_spaces)
                 ]
