@@ -848,6 +848,79 @@ class StencilOperator:
         runner.build = build
         return runner
 
+    @property
+    def supports_fused_bicgstab(self) -> bool:
+        """Whether :meth:`make_fused_bicgstab_runner` is available: 2-D
+        Pallas view, single shard (the sharded path keeps the transcription
+        schedule with overlapped ppermutes), geometry within the kernel
+        family's limits."""
+        if os.environ.get("LEGIONSOLVERS_NO_FUSED_BICGSTAB"):
+            return False
+        v = self._view
+        if v is None or v.get("kind") == "3d":
+            return False
+        if self.partition.num_pieces > 1:
+            return False
+        from ..ops.pallas.bicgstab2d import bicgstab_supported
+
+        itemsize = jnp.dtype(self.options.entry_dtype).itemsize
+        return bicgstab_supported(v["Br"], v["C"], v["offs"], itemsize)
+
+    def make_fused_bicgstab_runner(self, num_iterations: int,
+                                   donate: bool = False):
+        """Whole-loop BiCGStab at 15 vector passes/iteration (60 B/unknown
+        at f32) via the three fused Pallas passes of
+        ops/pallas/bicgstab2d.py — vs 24 XLA-fused passes for the planner
+        transcription.  Contract:
+        ``run(x, r, p, v, rt, rho, alpha, omega) ->
+        (x, r, p, v, rho, alpha, omega, history)`` with history[0] =
+        <r, r> on entry; exact continuation of the transcription
+        recurrence (reference: BiCGStabSolver.hpp:64-82) from any state."""
+        from ..ops.pallas.bicgstab2d import bicg_pv, bicg_st, bicg_update
+
+        v = self._view
+        C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
+        interpret = jax.default_backend() == "cpu"
+        kw = dict(offsets=offs, values=vals, interpret=interpret)
+
+        def local_run(x, r, p, vv, rt, rho, alpha, omega):
+            was_flat = x.ndim == 1
+            if was_flat:
+                x, r, p, vv, rt = (a.reshape(Br, C)
+                                   for a in (x, r, p, vv, rt))
+            f32 = jnp.float32
+            rho, alpha, omega = (jnp.asarray(s, f32)
+                                 for s in (rho, alpha, omega))
+            # bootstrap dots (once per solve): <r, r> and <r~, r>
+            rr0 = jnp.sum((r * r).astype(f32))
+            rtr = jnp.sum((rt * r).astype(f32))
+            hist = jnp.zeros(num_iterations + 1, f32).at[0].set(rr0)
+
+            def body(i, carry):
+                x, r, p, vv, rho, alpha, omega, rtr, hist = carry
+                rho_new = rtr
+                beta = (rho_new / rho) * (alpha / omega)
+                p, vv, rtv = bicg_pv(r, p, vv, rt, beta, omega, **kw)
+                alpha = rho_new / rtv
+                ts, tt = bicg_st(r, vv, alpha, **kw)
+                omega = ts / tt
+                x, r, rr, rtr = bicg_update(
+                    r, vv, x, p, rt, alpha, omega, **kw
+                )
+                hist = hist.at[i + 1].set(rr)
+                return x, r, p, vv, rho_new, alpha, omega, rtr, hist
+
+            x, r, p, vv, rho, alpha, omega, rtr, hist = jax.lax.fori_loop(
+                0, num_iterations, body,
+                (x, r, p, vv, rho, alpha, omega, rtr, hist),
+            )
+            if was_flat:
+                x, r, p, vv = (a.reshape(-1) for a in (x, r, p, vv))
+            return x, r, p, vv, rho, alpha, omega, hist
+
+        dn = (0, 1, 2, 3) if donate else ()
+        return jax.jit(local_run, donate_argnums=dn)
+
     def _make_pallas3d_cg_runner(self, num_iterations: int, donate: bool = False):
         """Fused CG over the 3-D plane-streaming kernels: each iteration is
         an XLA xpay (p = r + beta p, 12 B/elt) + a ``pq`` pass (<p, A p>

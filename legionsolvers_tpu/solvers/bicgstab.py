@@ -81,10 +81,58 @@ class BiCGStabSolver:
     def residual_norm_squared(self) -> Scalar:
         return self.planner.dot(self.R, self.R)
 
+    def _make_fused_runner(self, num_iterations: int):
+        """Fused whole-iteration runner (three Pallas passes, 60 B/unknown;
+        ops/pallas/bicgstab2d.py) for single-space systems driven by one
+        diagonal-block operator that supports it.  ``r~`` is passed as the
+        RHS data directly (R_TILDE is always a copy of b in this solver, so
+        its workspace slot stays unmaterialized).  Returns None when the
+        topology doesn't allow fusion."""
+        planner = self.planner
+        if planner.num_spaces != 1 or len(planner.row_partitioned_matrices) != 1:
+            return None
+        op, di, ri = planner.row_partitioned_matrices[0]
+        if di != 0 or ri != 0:
+            return None
+        if not getattr(op, "supports_fused_bicgstab", False):
+            return None
+        donate = getattr(self, "donate_workspace", False)
+        return op.make_fused_bicgstab_runner(num_iterations, donate=donate)
+
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
         """Scan ``num_iterations`` compiled steps; returns the ||r||^2 history
-        (length num_iterations + 1, starting with the initial residual)."""
+        (length num_iterations + 1, starting with the initial residual).
+
+        Single-space single-operator stencil systems run on the fused
+        three-pass Pallas schedule (15 vector passes/iteration vs 24 for
+        the XLA-fused transcription); the U workspace vector is then left
+        untouched (s and t = A s never materialize in HBM)."""
         planner = self.planner
+        if use_jit and num_iterations >= 1:
+            fkey = (num_iterations, "fused",
+                    getattr(self, "donate_workspace", False))
+            if fkey not in self._solve_cache:
+                self._solve_cache[fkey] = self._make_fused_runner(
+                    num_iterations
+                )
+            frun = self._solve_cache[fkey]
+            if frun is not None:
+                xv = planner.get_vector(self.SOL, 0)
+                rv = planner.get_vector(self.R, 0)
+                pv = planner.get_vector(self.P, 0)
+                vv = planner.get_vector(self.V, 0)
+                rt = planner.get_vector(self.RHS, 0)
+                (xv.data, rv.data, pv.data, vv.data,
+                 rho, alpha, omega, history) = frun(
+                    xv.data, rv.data, pv.data, vv.data, rt.data,
+                    self.rho[-1].value, self.alpha[-1].value,
+                    self.omega[-1].value,
+                )
+                dtype = planner.options.entry_dtype
+                self.rho = [Scalar(jnp.asarray(rho, dtype))]
+                self.alpha = [Scalar(jnp.asarray(alpha, dtype))]
+                self.omega = [Scalar(jnp.asarray(omega, dtype))]
+                return history
 
         def body(i, carry):
             state, rho, alpha, omega, history = carry

@@ -168,6 +168,16 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
         label = sched if extra == 0 else f"{sched}+{extra}"
         return passes * itemsize * n, label
     if name == "BiCGStabSolver":
+        planner = solver.planner
+        # three-pass Pallas schedule (ops/pallas/bicgstab2d.py): pv 6 +
+        # st 2 + upd 7 = 15 passes (60 B/unknown at f32)
+        if (
+            planner.num_spaces == 1
+            and len(planner.row_partitioned_matrices) == 1
+            and planner.row_partitioned_matrices[0][1:] == (0, 0)
+            and getattr(ops[0], "supports_fused_bicgstab", False)
+        ):
+            return 15 * itemsize * n, "bicgstab_fused2d"
         fused = all(
             getattr(op, "supports_matvec_dot", False) for op in ops
         ) and len(ops) == solver.planner.num_spaces
