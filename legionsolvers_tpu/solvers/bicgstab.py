@@ -122,6 +122,13 @@ class BiCGStabSolver:
                 pv = planner.get_vector(self.P, 0)
                 vv = planner.get_vector(self.V, 0)
                 rt = planner.get_vector(self.RHS, 0)
+                if getattr(self, "donate_workspace", False):
+                    from .cg import _unshare_for_donation
+
+                    _unshare_for_donation(
+                        (xv, rv, pv, vv), rt,
+                        planner.get_vector(self.R_TILDE, 0),
+                    )
                 (xv.data, rv.data, pv.data, vv.data,
                  rho, alpha, omega, history) = frun(
                     xv.data, rv.data, pv.data, vv.data, rt.data,

@@ -21,6 +21,18 @@ from ..core.scalar import Scalar, ScalarHistory
 from ..planner import SquarePlanner
 
 
+def _unshare_for_donation(vectors, *protected) -> None:
+    """Ensure each vector's buffer is distinct from the others' and from
+    every protected vector's (``planner.copy``/``assign`` share buffers;
+    donating a shared buffer invalidates its other users or trips XLA's
+    duplicate-donation check)."""
+    seen = {id(v.data) for v in protected}
+    for v in vectors:
+        if id(v.data) in seen:
+            v.data = v.data + jnp.zeros((), v.data.dtype)
+        seen.add(id(v.data))
+
+
 class CGSolver:
     SOL = 0
     RHS = 1
@@ -106,6 +118,14 @@ class CGSolver:
                 x = planner.get_vector(self.SOL, 0)
                 r = planner.get_vector(self.R, 0)
                 p = planner.get_vector(self.P, 0)
+                if getattr(self, "donate_workspace", False):
+                    # planner.copy shares buffers (P/R alias the RHS array
+                    # after reset()); donated inputs must be distinct live
+                    # buffers, and the RHS must survive — materialize
+                    # copies where needed (one extra pass per solve)
+                    _unshare_for_donation(
+                        (x, r, p), planner.get_vector(self.RHS, 0)
+                    )
                 rr0 = self.residual_norm_squared[-1].value
                 x.data, r.data, p.data, history = frun(
                     x.data, r.data, p.data, rr0

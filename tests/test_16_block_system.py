@@ -175,6 +175,20 @@ def test_benchmark_block_smoke(capsys):
     assert "ms per iteration" in out
 
 
+def test_benchmark_cg_donating_smoke(capsys):
+    """benchmark.py -solver 1 single-space: exercises the DONATING fused
+    runner with reset()-style restarts (regression: reset() shares the RHS
+    buffer into P/R, and donating shared buffers tripped
+    INVALID_ARGUMENT on chip — the unshare guard must materialize
+    copies)."""
+    from legionsolvers_tpu.benchmark import main
+
+    main(["-dim", "2", "-nx", "16", "-ny", "128", "-solver", "1",
+          "-vp", "1", "-it", "10", "--dtype", "float32"])
+    out = capsys.readouterr().out
+    assert "ms per iteration" in out
+
+
 @pytest.mark.parametrize("solver", [2, 3])
 def test_benchmark_other_solvers_smoke(capsys, solver):
     """benchmark.py -solver 2|3 runs end-to-end on CPU (regression: the
