@@ -83,7 +83,12 @@ def main(argv=None, bw=None):
                    help="2-space block system (reference stress setup)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--bw", type=float, default=None,
+                   help="pre-measured stream bandwidth (bytes/s): skips "
+                   "the probe (used by subprocess harnesses)")
     args = p.parse_args(argv)
+    if bw is None:
+        bw = args.bw
 
     options = SolverOptions(entry_dtype=jnp.dtype(args.dtype))
     mesh = make_mesh(args.vp) if args.vp > 1 else None
@@ -160,6 +165,21 @@ def main(argv=None, bw=None):
                 if pct is not None else "")
     print(f"Achieved {ms:.6f} ms per iteration "
           f"({nnz / sec_per_iter / 1e9:.2f} Gnnz/s{roofline})")
+    import json
+    import os as _os
+
+    if _os.environ.get("LEGIONSOLVERS_BENCH_JSON"):
+        # machine-readable row for subprocess harnesses (bench_matrix runs
+        # each config in its own process: a crashed/OOMed config poisons
+        # the TPU client for the rest of the process)
+        print("BENCH_JSON " + json.dumps({
+            "dim": args.dim, "solver": names[args.solver], "n": n,
+            "nnz": nnz, "pieces": args.vp, "dtype": args.dtype,
+            "ms_per_iter": ms, "gnnz_per_s": nnz / sec_per_iter / 1e9,
+            "schedule": schedule, "bytes_per_unknown": bytes_per_iter / n,
+            "pct_roofline": pct, "roofline_binding": binding,
+            "final_residual2": float(hist[-1]),
+        }))
     return {
         "dim": args.dim,
         "solver": names[args.solver],

@@ -32,10 +32,32 @@ SHAPES = {
 
 SOLVER_NAMES = {1: "CG", 2: "BiCGStab", 3: "GMRES(10)"}
 
+_BW = [None]  # parent-measured stream bandwidth, forwarded to subprocesses
+
+
+def run_config(argv, timeout=1500):
+    """One benchmark config in its OWN subprocess: a crash/OOM in one
+    config poisons the TPU client for the rest of the process (observed:
+    after any JaxRuntimeError every later call in-process fails with
+    INVALID_ARGUMENT), so isolation is the only way to keep sweeping."""
+    import subprocess
+
+    env = dict(os.environ, LEGIONSOLVERS_BENCH_JSON="1")
+    if _BW[0] is not None and "--bw" not in argv:
+        argv = argv + ["--bw", str(_BW[0])]
+    proc = subprocess.run(
+        [sys.executable, "-m", "legionsolvers_tpu.benchmark"] + argv,
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_JSON "):
+            return json.loads(line[len("BENCH_JSON "):]), None
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return None, " | ".join(tail[-3:])[:300] or f"rc={proc.returncode}"
+
 
 def run_matrix(bw, iters=100):
-    from legionsolvers_tpu.benchmark import main as bench_main
-
     rows = []
     for dim in (1, 2, 3, 4):
         for solver in (1, 2, 3):
@@ -44,20 +66,24 @@ def run_matrix(bw, iters=100):
                     "-it", str(it)] + SHAPES[dim]
             print(f"[matrix] running dim={dim} solver={solver}", flush=True)
             try:
-                rows.append(bench_main(argv, bw=bw))
-            except Exception as e:  # record failures, keep sweeping
-                print(f"[matrix] FAILED dim={dim} solver={solver}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
-                rows.append({"dim": dim, "solver": SOLVER_NAMES[solver],
-                             "error": type(e).__name__})
+                row, err = run_config(argv)
+            except Exception as e:
+                row, err = None, f"{type(e).__name__}: {str(e)[:200]}"
+            if row is None:
+                print(f"[matrix] FAILED dim={dim} solver={solver}: {err}",
+                      flush=True)
+                row = {"dim": dim, "solver": SOLVER_NAMES[solver],
+                       "error": err}
+            rows.append(row)
             print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
 def discover_max_size(bw):
     """Double the 1-chip CG problem size per dim until allocation fails
-    (analog of the reference's recorded max sizes, bench_all_ls.py:366-379)."""
-    from legionsolvers_tpu.benchmark import main as bench_main
+    (analog of the reference's recorded max sizes, bench_all_ls.py:366-379).
+    Each attempt runs in its own subprocess: an OOM must not poison the
+    sweep (round-3 finding: it killed every later dim's ladder)."""
 
     # start sizes chosen ~1/4 of the expected ceiling; shapes double by dim
     ladders = {
@@ -76,12 +102,15 @@ def discover_max_size(bw):
         for shape_args in ladder:
             argv = ["-dim", str(dim), "-solver", "1", "-it", "20"] + shape_args
             try:
-                r = bench_main(argv, bw=bw)
+                r, err = run_config(argv, timeout=2400)
+            except Exception as e:
+                r, err = None, f"{type(e).__name__}: {str(e)[:200]}"
+            if r is not None:
                 best = r
                 print(f"[maxsize] dim={dim} ok at n={r['n']}", flush=True)
-            except Exception as e:
-                print(f"[maxsize] dim={dim} failed at {shape_args}: "
-                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            else:
+                print(f"[maxsize] dim={dim} failed at {shape_args}: {err}",
+                      flush=True)
                 break
         results[dim] = best
         print(json.dumps({"dim": dim, "max": best}), flush=True)
@@ -158,6 +187,7 @@ def main():
     if jax.default_backend() == "tpu" and not args.no_probe:
         bw = measure_stream_bandwidth()
         print(f"[matrix] stream bandwidth {bw/1e9:.0f} GB/s", flush=True)
+    _BW[0] = bw
 
     rows = run_matrix(bw)
     maxsizes = discover_max_size(bw) if args.maxsize else None
