@@ -649,15 +649,14 @@ GRAM_NAMES = ("rr", "pAp", "rAp", "ApAp", "rAr",
 def _pick_tile_rows_step2(
     R: int, C: int, itemsize: int, vmem_budget: int = _VMEM_BUDGET
 ) -> int:
-    """Tile rows for the step2 kernel: 2 double-buffered windows (r, p) plus
-    the persistent mask scratch, 2 value-level window loads, ~8 extended-row
-    compute temporaries, and 4 streamed (TR, C) blocks (x in; x/r/p out),
-    each double-buffered."""
+    """Tile rows for the step2 kernel: 2 double-buffered windows (r, p), 2
+    value-level window loads, ~8 extended-row compute temporaries, and 4
+    streamed (TR, C) blocks (x in; x/r/p out), each double-buffered."""
     best = 0
     tr = 8
     while tr <= min(R, 128):
         W, CW = tr + 16, C + 2 * PADC
-        need = (7 * W * CW + 8 * (tr + 8) * CW + 8 * tr * C) * itemsize
+        need = (6 * W * CW + 8 * (tr + 8) * CW + 8 * tr * C) * itemsize
         if R % tr == 0 and need <= vmem_budget:
             best = tr
         tr += 8
@@ -786,10 +785,10 @@ def _sstep_call(
 
     def kernel(r_hbm, p_hbm, *rest):
         if mode == "gram2":
-            (gram_ref, rwin, pwin, maskbuf, rsems, psems) = rest
+            (gram_ref, rwin, pwin, rsems, psems) = rest
         else:
             (x_ref, coef_ref, xo_ref, ro_ref, po_ref, gram_ref,
-             rwin, pwin, maskbuf, rsems, psems) = rest
+             rwin, pwin, rsems, psems) = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -851,22 +850,17 @@ def _sstep_call(
                     acc = acc + jnp.asarray(v, dtype) * sh
             return acc
 
-        # one 0/1 mask for the whole window; kernel time is VPU-bound
-        # (measured: step2 runs at 438 GB/s vs 652 GB/s for a same-traffic
-        # triad, scripts/profile_sstep.py), so the iota+compare build runs
-        # only on the tiles whose mask differs — tile 0 (top rows out of
-        # grid), tile 1 (restore the interior mask), tile nt-1 (bottom rows
-        # out) — and interior tiles reuse the scratch.
-        @pl.when((i <= 1) | (i == nt - 1))
-        def _():
-            rid = (jax.lax.broadcasted_iota(jnp.int32, (W, CW), 0)
-                   + (i * TR - PAD))
-            cid = jax.lax.broadcasted_iota(jnp.int32, (W, CW), 1)
-            maskbuf[:, :] = (
-                (rid >= 0) & (rid < R) & (cid >= PADC) & (cid < PADC + C)
-            ).astype(dtype)
-
-        maskW = maskbuf[:, :]
+        # one 0/1 mask for the whole window, built once per tile; every
+        # masked intermediate is a single multiply by a row-aligned slice.
+        # (A round-3 experiment cached this in a persistent VMEM scratch
+        # rebuilt only on edge tiles; measured SLOWER on chip — 0.63 vs
+        # 0.43 ms/iter end-to-end: the VMEM round-trip costs more than the
+        # register-resident iota+compare chain Mosaic emits here.)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (W, CW), 0) + (i * TR - PAD)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (W, CW), 1)
+        maskW = (
+            (rid >= 0) & (rid < R) & (cid >= PADC) & (cid < PADC + C)
+        ).astype(dtype)
 
         def mask(val, lo):
             """Zero entries outside the real grid.  ``lo`` is the global row
@@ -987,7 +981,6 @@ def _sstep_call(
         scratch_shapes=[
             pltpu.VMEM((2, W, CW), dtype),
             pltpu.VMEM((2, W, CW), dtype),
-            pltpu.VMEM((W, CW), dtype),  # grid mask (rebuilt on edge tiles)
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
