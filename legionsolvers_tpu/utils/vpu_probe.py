@@ -27,21 +27,23 @@ SHORT, LONG = 64, 512  # chain lengths (reps inside the kernel)
 
 @functools.partial(jax.jit, static_argnames=("reps", "kind", "interpret"))
 def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
-    """y = f^reps(x) with f one rep of the probed op class."""
+    """y = f^reps(x) with f one rep of the probed op class.  The chain is
+    an in-kernel fori_loop (a fully unrolled 512-rep chain made Mosaic
+    compile for many minutes through the remote-compile relay)."""
 
     def kernel(x_ref, y_ref):
-        v = x_ref[:, :]
-        for _ in range(reps):
+        def body(_, v):
             if kind == "fma":
-                v = v * 1.000001 + 0.25
-            elif kind == "roll":
-                v = v + pltpu.roll(v, 1, 1)
-            else:  # row: sublane shift via slice of a concatenated pair
-                w = jax.lax.slice(
-                    jnp.concatenate([v, v], 0), (1, 0), (TR + 1, C)
-                )
-                v = v + w
-        y_ref[:, :] = v
+                return v * 1.000001 + 0.25
+            if kind == "roll":
+                return 0.5 * v + pltpu.roll(v, 1, 1)
+            # row: sublane shift via slice of a concatenated pair
+            w = jax.lax.slice(
+                jnp.concatenate([v, v], 0), (1, 0), (TR + 1, C)
+            )
+            return 0.5 * v + w
+
+        y_ref[:, :] = jax.lax.fori_loop(0, reps, body, x_ref[:, :])
 
     return pl.pallas_call(
         kernel,
