@@ -3,8 +3,16 @@
 This is the accelerated device path for *explicit* sparse matrices — the role
 cuSPARSE CSR/COO SpMV plays in the reference (reference:
 CSRMatrixTasks.cu:14-156, COOMatrixTasks.cu:12-146).  TPUs have no efficient
-arbitrary VMEM gather (Mosaic rejects >2-D gathers; probed on chip), so the
-TPU-native layout for the banded matrices this library targets is DIA:
+arbitrary VMEM gather: Mosaic's only dynamic-indexing primitive
+(``tpu.dynamic_gather`` via equal-shape ``take_along_axis``) gathers within
+a SINGLE vreg along the gather axis — 8 sublanes or 128 lanes ("Multiple
+source vregs along gather dimension" is Not Implemented; established in
+round 3 by building a windowed lane-routed ELL kernel that Mosaic then
+rejected, and a multi-vreg select chain would cost more than the XLA gather
+it replaces).  So the TPU-native layout for explicit matrices is DIA
+whenever the diagonal fill allows (the planner accepts up to 256 diagonals
+at >= 1/16 fill — per-NNZ traffic is constant in the diagonal count) with
+the XLA gather as the honest fallback for genuinely scattered sparsity:
 per-diagonal coefficient arrays, extracted host-side from any COO/CSR matrix
 (parallel/dia_op.py).  SpMV then becomes
 

@@ -169,65 +169,6 @@ class RowPartitionedMatrix:
             for d in self.halo.offsets
         }
 
-        # windowed lane-routed gather kernel (ops/pallas/ell2d.py): the
-        # fast path for general matrices whose per-256-row-block column
-        # span fits a 32k window; opt-in until chip-validated
-        self._windowed = None
-        self._windowed_sharded = None
-        import os as _os
-
-        if _os.environ.get("LEGIONSOLVERS_ELL_WINDOWED"):
-            from ..ops.pallas.ell2d import pack_windowed_ell
-
-            if mesh is None:
-                w = pack_windowed_ell(
-                    np.asarray(self.g_ell_cols, np.int64),
-                    np.asarray(g_vals), 0, domain_partition.padded_size,
-                )
-                if w is not None:
-                    self._windowed = {
-                        k: (jnp.asarray(v) if isinstance(v, np.ndarray)
-                            else v)
-                        for k, v in w.items()
-                    }
-                    self._windowed["vals"] = jnp.asarray(
-                        w["vals"].astype(options.entry_dtype))
-            else:
-                packs = [
-                    pack_windowed_ell(
-                        ell_cols[s].astype(np.int64),
-                        np.asarray(ell_vals[s]), dump, ext,
-                    )
-                    for s in range(S)
-                ]
-                if all(p is not None for p in packs):
-                    Mx = max(p["M"] for p in packs)
-                    for p in packs:  # unify the static round count
-                        if p["M"] < Mx:
-                            pad = np.zeros(
-                                (p["rowsel"].shape[0], Mx - p["M"])
-                                + p["rowsel"].shape[2:], np.uint8)
-                            p["rowsel"] = np.concatenate(
-                                [p["rowsel"], pad], axis=1)
-                            p["M"] = Mx
-                    stack = lambda key, dt: jnp.asarray(np.stack(
-                        [p[key] for p in packs]).astype(dt))
-                    self._windowed_sharded = {
-                        "M": Mx, "nb": packs[0]["nb"], "L": packs[0]["L"],
-                        "B_pad": packs[0]["B_pad"],
-                        "ext_pad": packs[0]["ext_pad"],
-                        "wstart": put(stack("wstart", np.int32), shard2),
-                        "rowsel": put(
-                            stack("rowsel", np.uint8),
-                            NamedSharding(
-                                mesh, P(SHARD_AXIS, None, None, None, None)
-                            ) if mesh else None),
-                        "lanesel": put(stack("lanesel", np.uint8), shard3),
-                        "rounds": put(stack("rounds", np.uint8), shard3),
-                        "vals": put(
-                            stack("vals", np.dtype(options.entry_dtype)),
-                            shard3),
-                    }
         self._S = S
         self._B_d = B_d
         self._B_r = B_r
@@ -245,8 +186,6 @@ class RowPartitionedMatrix:
     # Operator device state: threaded through solver jits as ARGUMENTS (via
     # SquarePlanner.dump_state/load_state) so the ELL slabs and halo
     # schedules are never baked into compiled programs as giant constants.
-    _WIN_KEYS = ("wstart", "rowsel", "lanesel", "rounds", "vals")
-
     def device_state(self):
         s = {
             "ell_cols": self.ell_cols,
@@ -257,18 +196,11 @@ class RowPartitionedMatrix:
         if self.mesh is None:
             s["g_ell_cols"] = self.g_ell_cols
             s["g_ell_vals"] = self.g_ell_vals
-        win = self._windowed or self._windowed_sharded
-        if win is not None:
-            s["win"] = {k: win[k] for k in self._WIN_KEYS}
         return s
 
     def set_device_state(self, state) -> None:
         for k, v in state.items():
-            if k == "win":
-                win = self._windowed or self._windowed_sharded
-                win.update(v)
-            else:
-                setattr(self, k, v)
+            setattr(self, k, v)
 
     # ------------------------------------------------------------------
     def _local_matvec(self, x_blk, ell_cols, ell_vals, *sched):
@@ -297,53 +229,10 @@ class RowPartitionedMatrix:
             ext = ext.at[rpos].set(recv)
         return ext
 
-    def _local_matvec_windowed(
-        self, x_blk, wstart, rowsel, lanesel, rounds, wvals, *sched
-    ):
-        """Per-shard windowed-gather SpMV (runs inside shard_map)."""
-        from ..ops.pallas.ell2d import ell_windowed_matvec
-
-        w = self._windowed_sharded
-        ext = self._build_ext(x_blk.reshape(-1), sched)
-        xp = jnp.zeros(w["ext_pad"], ext.dtype).at[: ext.shape[0]].set(ext)
-        y = ell_windowed_matvec(
-            xp, wstart[0], rowsel[0], lanesel[0], rounds[0], wvals[0],
-            M=w["M"], nb=w["nb"], L=w["L"],
-            interpret=jax.default_backend() == "cpu",
-        )
-        return y[: self._B_r]
-
     def _build_matvec(self):
         mesh = self.mesh
         n_off = len(self.halo.offsets)
         specs2 = (P(SHARD_AXIS, None),) * (2 * n_off)
-        if self._windowed_sharded is not None:
-            f = jax.shard_map(
-                self._local_matvec_windowed,
-                mesh=mesh,
-                in_specs=(
-                    P(SHARD_AXIS),
-                    P(SHARD_AXIS, None),
-                    P(SHARD_AXIS, None, None, None, None),
-                    P(SHARD_AXIS, None, None),
-                    P(SHARD_AXIS, None, None),
-                    P(SHARD_AXIS, None, None),
-                )
-                + specs2,
-                out_specs=P(SHARD_AXIS),
-                check_vma=False,
-            )
-
-            def matvec(x):
-                w = self._windowed_sharded
-                sched = tuple(
-                    self.send_idx[d] for d in self.halo.offsets
-                ) + tuple(self.recv_pos[d] for d in self.halo.offsets)
-                y = f(x, w["wstart"], w["rowsel"], w["lanesel"],
-                      w["rounds"], w["vals"], *sched)
-                return y.reshape(-1)
-
-            return matvec
         f = jax.shard_map(
             self._local_matvec,
             mesh=mesh,
@@ -374,17 +263,6 @@ class RowPartitionedMatrix:
         rows have all-zero ELL rows, so y's padding stays 0.
         """
         if self.mesh is None:
-            if self._windowed is not None:
-                from ..ops.pallas.ell2d import ell_windowed_matvec
-
-                w = self._windowed
-                xp = jnp.zeros(w["ext_pad"], x.dtype).at[: x.shape[0]].set(x)
-                y = ell_windowed_matvec(
-                    xp, w["wstart"], w["rowsel"], w["lanesel"], w["rounds"],
-                    w["vals"], M=w["M"], nb=w["nb"], L=w["L"],
-                    interpret=jax.default_backend() == "cpu",
-                )
-                return y[: self.range_partition.padded_size]
             # plain ELL over the global padded arrays (XLA gather)
             from ..ops.spmv import spmv_ell
 

@@ -125,23 +125,6 @@ def main():
     print(f"[explicit] ELL / matrix-free ratio (per-nnz): "
           f"{(t_ell/nnz_ell)/(t_free/nnz):.2f}x", flush=True)
 
-    # windowed lane-routed gather kernel (ops/pallas/ell2d.py) on the same
-    # matrix — the general-sparsity fast path; falls back silently when the
-    # column span rejects packing (then the two ELL rows match)
-    os.environ["LEGIONSOLVERS_ELL_WINDOWED"] = "1"
-    try:
-        planner_w = build(n_ell, True, False, options)
-        op_w = planner_w.row_partitioned_matrices[0][0]
-        if getattr(op_w, "_windowed", None) is not None:
-            t_win = bench_cg(planner_w, nnz_ell,
-                             f"explicit ELL-windowed n={n_ell}^2", bw)
-            print(f"[explicit] windowed / XLA-gather ELL speedup: "
-                  f"{t_ell/t_win:.1f}x", flush=True)
-        else:
-            print("[explicit] windowed ELL: packing rejected (span)",
-                  flush=True)
-    finally:
-        del os.environ["LEGIONSOLVERS_ELL_WINDOWED"]
 
 
 if __name__ == "__main__":
