@@ -24,7 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 TR, C = 256, 1024      # 1 MB tile: VMEM-resident (roll/concat temporaries
                        # of a 4 MB tile blew the Mosaic stack), far above
                        # VPU latency
-SHORT, LONG = 64, 512  # chain lengths (reps inside the kernel)
+# chain lengths (fori_loop reps inside the kernel): the marginal work must
+# dwarf the dispatch relay's ~ms noise floor — at 0.26M elements the
+# 229k-rep differential is ~60 Gops ~ 35+ ms of pure VPU work
+SHORT, LONG = 32768, 262144
 
 
 @functools.partial(jax.jit, static_argnames=("reps", "kind", "interpret"))
@@ -76,11 +79,28 @@ def _measure(kind: str) -> float:
 def measure_rates() -> dict:
     """{"vpu_fma_ops_per_s": flops/s of an fma chain (2 flops/rep),
     "vpu_roll_plus_add_reps_per_s", "vpu_row_shift_add_reps_per_s"}."""
-    return {
+    rates = {
         "vpu_fma_ops_per_s": 2.0 * _measure("fma"),
         "vpu_roll_plus_add_reps_per_s": _measure("roll"),
         "vpu_row_shift_add_reps_per_s": _measure("row"),
     }
+    if not rates_sane(rates):
+        raise RuntimeError(f"implausible VPU probe rates: {rates}")
+    return rates
+
+
+def rates_sane(rates: dict) -> bool:
+    """Plausibility window for a single TPU core (v4/v5/v6 generations):
+    rejects noise-floor artifacts like the 2.6e17 'rate' a collapsed
+    marginal once produced."""
+    try:
+        return (
+            2e11 <= rates["vpu_fma_ops_per_s"] <= 5e13
+            and 1e10 <= rates["vpu_roll_plus_add_reps_per_s"] <= 2e13
+            and 1e10 <= rates["vpu_row_shift_add_reps_per_s"] <= 2e13
+        )
+    except (KeyError, TypeError):
+        return False
 
 
 def load_or_measure(path: str | None = None) -> dict:
@@ -94,7 +114,10 @@ def load_or_measure(path: str | None = None) -> dict:
                 os.path.abspath(__file__)))), "VPU_RATES.json")
     if os.path.exists(path):
         with open(path) as f:
-            return json.load(f)
+            cached = json.load(f)
+        if rates_sane(cached):
+            return cached
+        os.remove(path)  # poisoned cache (e.g. noise-floor artifact)
     try:
         rates = measure_rates()
     except Exception:
