@@ -119,7 +119,9 @@ def main(argv=None, bw=None):
     # instead of snapshotting the planner (a dump_state snapshot keeps a
     # second copy of every vector live, halving the max problem size);
     # CG additionally donates its x/r/p buffers into the fused runner
-    if args.solver == 1:
+    import os as _os
+
+    if args.solver == 1 and not _os.environ.get("LEGIONSOLVERS_NO_DONATE"):
         solver.donate_workspace = True
     short = max(args.it // 5, 1)
 
