@@ -53,8 +53,11 @@ def run_config(argv, timeout=1500):
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_JSON "):
             return json.loads(line[len("BENCH_JSON "):]), None
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-    return None, " | ".join(tail[-3:])[:300] or f"rc={proc.returncode}"
+    lines = (proc.stderr or proc.stdout or "").strip().splitlines()
+    errs = [l for l in lines
+            if "Error" in l or "RESOURCE" in l or "INTERNAL" in l]
+    tail = errs[-1] if errs else " | ".join(lines[-3:])
+    return None, tail[:300] or f"rc={proc.returncode}"
 
 
 def run_matrix(bw, iters=100):
