@@ -98,6 +98,13 @@ def main() -> None:
             compute_ms = sstep_compute_seconds_per_iteration(
                 v["offs"], v["vals"], n, rates
             ) * 1e3
+    if compute_ms is not None and compute_ms >= ms_per_iter:
+        # the op-count model over-estimates the compute bound (the kernel
+        # already beat it) — an invalid estimate is discarded, not used to
+        # flatter the ratio; the stream bound stands
+        print(f"[bench] note: compute model ({compute_ms:.3f} ms) exceeds "
+              "the measurement; discarded as un-tight", file=sys.stderr)
+        compute_ms = None
     sol_ms = max(stream_ms, compute_ms or 0.0)
     vs_baseline = sol_ms / ms_per_iter  # fraction of the BINDING roofline
 

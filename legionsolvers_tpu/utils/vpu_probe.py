@@ -30,16 +30,19 @@ TR, C = 256, 1024      # 1 MB tile: VMEM-resident (roll/concat temporaries
 SHORT, LONG = 32768, 262144
 
 
+ILP = 4  # independent chains per rep: a single serial chain measures op
+         # LATENCY, not throughput, and under-reports the rate ~3-5x
+
+
 @functools.partial(jax.jit, static_argnames=("reps", "kind", "interpret"))
 def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
-    """y = f^reps(x) with f one rep of the probed op class.  The chain is
-    an in-kernel fori_loop (a fully unrolled 512-rep chain made Mosaic
-    compile for many minutes through the remote-compile relay)."""
+    """f^reps over ILP independent tiles (in-kernel fori_loop; a fully
+    unrolled chain made Mosaic compile for minutes through the relay)."""
 
     def kernel(x_ref, y_ref):
-        def body(_, v):
+        def one(v, j):
             if kind == "fma":
-                return v * 1.000001 + 0.25
+                return v * 1.000001 + (0.25 + 0.01 * j)
             if kind == "roll":
                 return 0.5 * v + pltpu.roll(v, 1, 1)
             # row: sublane shift via slice of a concatenated pair
@@ -48,7 +51,16 @@ def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
             )
             return 0.5 * v + w
 
-        y_ref[:, :] = jax.lax.fori_loop(0, reps, body, x_ref[:, :])
+        def body(_, vs):
+            return tuple(one(v, j) for j, v in enumerate(vs))
+
+        x0 = x_ref[:, :]
+        vs = tuple(x0 + float(j) for j in range(ILP))
+        vs = jax.lax.fori_loop(0, reps, body, vs)
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc + v
+        y_ref[:, :] = acc
 
     return pl.pallas_call(
         kernel,
@@ -63,7 +75,7 @@ def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
 
 
 def _measure(kind: str) -> float:
-    """Reps/s (per element) for one op-class chain."""
+    """Element-ops/s for one op-class (ILP independent ops per rep)."""
     from .timing import marginal_seconds_per_iter
 
     x = jax.random.normal(jax.random.PRNGKey(0), (TR, C), jnp.float32)
@@ -73,7 +85,7 @@ def _measure(kind: str) -> float:
         jax.block_until_ready(f(x))
         fns[reps] = f
     sec = marginal_seconds_per_iter(lambda k: fns[k](x), SHORT, LONG)
-    return TR * C / sec
+    return ILP * TR * C / sec
 
 
 def measure_rates() -> dict:
