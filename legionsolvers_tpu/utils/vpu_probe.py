@@ -24,14 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 TR, C = 256, 1024      # 1 MB tile: VMEM-resident (roll/concat temporaries
                        # of a 4 MB tile blew the Mosaic stack), far above
                        # VPU latency
-# chain lengths (fori_loop reps inside the kernel): the marginal work must
-# dwarf the dispatch relay's ~ms noise floor — at 0.26M elements the
-# 229k-rep differential is ~60 Gops ~ 35+ ms of pure VPU work
-SHORT, LONG = 32768, 262144
+# chain lengths (fori_loop trips inside the kernel; each trip = UNROLL
+# ops per chain): the marginal work must dwarf the dispatch relay's ~ms
+# noise floor — the differential is ~230 Gops ~ 100+ ms of pure VPU work
+SHORT, LONG = 8192, 65536
 
 
-ILP = 4  # independent chains per rep: a single serial chain measures op
-         # LATENCY, not throughput, and under-reports the rate ~3-5x
+ILP = 4     # independent chains per rep: a single serial chain measures
+            # op LATENCY, not throughput, and under-reports the rate ~3-5x
+UNROLL = 8  # ops per chain per loop iteration: amortizes the fori_loop
+            # counter/branch overhead that otherwise caps the measured rate
 
 
 @functools.partial(jax.jit, static_argnames=("reps", "kind", "interpret"))
@@ -52,7 +54,9 @@ def _chain_kernel(x, *, reps: int, kind: str, interpret: bool = False):
             return 0.5 * v + w
 
         def body(_, vs):
-            return tuple(one(v, j) for j, v in enumerate(vs))
+            for _u in range(UNROLL):
+                vs = tuple(one(v, j) for j, v in enumerate(vs))
+            return vs
 
         x0 = x_ref[:, :]
         vs = tuple(x0 + float(j) for j in range(ILP))
@@ -85,7 +89,7 @@ def _measure(kind: str) -> float:
         jax.block_until_ready(f(x))
         fns[reps] = f
     sec = marginal_seconds_per_iter(lambda k: fns[k](x), SHORT, LONG)
-    return ILP * TR * C / sec
+    return UNROLL * ILP * TR * C / sec
 
 
 def measure_rates() -> dict:
