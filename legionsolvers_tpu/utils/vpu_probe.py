@@ -30,8 +30,9 @@ TR, C = 256, 1024      # 1 MB tile: VMEM-resident (roll/concat temporaries
 SHORT, LONG = 8192, 65536
 
 
-ILP = 4     # independent chains per rep: a single serial chain measures
-            # op LATENCY, not throughput, and under-reports the rate ~3-5x
+ILP = 8     # independent chains per rep: enough to cover the VPU's fma
+            # latency (a serial chain measures LATENCY; ILP=4 still
+            # under-reported the sustained rate ~2x vs the real kernels)
 UNROLL = 8  # ops per chain per loop iteration: amortizes the fori_loop
             # counter/branch overhead that otherwise caps the measured rate
 
