@@ -42,8 +42,13 @@ def build_planner(args, mesh, options):
     planner = SquarePlanner(mesh=mesh, options=options)
     num_spaces = 2 if args.block else 1
     # grid-native vector storage when the Pallas view is active: avoids
-    # 1-D<->N-D relayout copies at every operator boundary
+    # 1-D<->N-D relayout copies at every operator boundary.  1-D problems
+    # use the operator's [rows, C] VIEW as the layout: flat [n] arrays
+    # made GMRES's basis algebra ~2.5x slower than the 2-D layouts
     gs = shape if op.uses_pallas else None
+    if gs is not None and nd == 1 and getattr(op, "_view", None):
+        C = op._view["C"]
+        gs = (n // C, C)
     for i in range(num_spaces):
         sol = PartitionedVector(f"sol{i}", part, mesh=mesh, options=options,
                                 grid_shape=gs)
