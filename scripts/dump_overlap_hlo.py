@@ -104,14 +104,15 @@ def check_schedule(txt: str):
     for ev in events:
         bycomp.setdefault(ev[0], []).append(ev)
     # the iteration body = the non-ENTRY computation with the most Pallas
-    # calls (the fused loop body holds both the xpay_pq and update passes)
+    # calls (the fused2d body holds two passes; the sharded s-step body
+    # holds the single step2 pass per two iterations)
     body = None
     for comp, evs in bycomp.items():
         if comp == "ENTRY":
             continue
         nk = sum(e[1] == "kernel" for e in evs)
         ns = sum(e[1] == "start" for e in evs)
-        if ns and nk >= 2 and (body is None or nk > body[1]):
+        if ns and nk >= 1 and (body is None or nk > body[1]):
             body = (comp, nk)
     if body is None:
         return False, report, [("<none>", "no loop body with starts+kernels")]
