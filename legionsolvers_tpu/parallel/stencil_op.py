@@ -880,16 +880,19 @@ class StencilOperator:
     @property
     def supports_fused_bicgstab(self) -> bool:
         """Whether :meth:`make_fused_bicgstab_runner` is available: 2-D
-        Pallas view, single shard (the sharded path keeps the transcription
-        schedule with overlapped ppermutes), geometry within the kernel
-        family's limits."""
+        Pallas view, geometry within the kernel family's limits.  Sharded
+        runs qualify too (mesh required, local blocks >= 16 rows): the
+        passes stay zero-halo and the single-application edge corruption
+        of outputs AND fused dots is repaired from exchanged input halos
+        (the same overlap-preserving structure as the sharded s-step CG)."""
         if os.environ.get("LEGIONSOLVERS_NO_FUSED_BICGSTAB"):
             return False
         v = self._view
         if v is None or v.get("kind") == "3d":
             return False
         if self.partition.num_pieces > 1:
-            return False
+            if self.mesh is None or v["Br"] < 16:
+                return False
         from ..ops.pallas.bicgstab2d import bicgstab_supported
 
         itemsize = jnp.dtype(self.options.entry_dtype).itemsize
@@ -906,11 +909,77 @@ class StencilOperator:
         <r, r> on entry; exact continuation of the transcription
         recurrence (reference: BiCGStabSolver.hpp:64-82) from any state."""
         from ..ops.pallas.bicgstab2d import bicg_pv, bicg_st, bicg_update
+        from .overlap import edge_missing
+        from .sstep_sharded import _apply
 
         v = self._view
         C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
+        S = self.partition.num_pieces
+        sharded = S > 1
         interpret = jax.default_backend() == "cpu"
         kw = dict(offsets=offs, values=vals, interpret=interpret)
+        rlo = max(0, -min(dy for dy, _ in offs))
+        rhi = max(0, max(dy for dy, _ in offs))
+        dtype = jnp.dtype(self.options.entry_dtype)
+        coeff = lambda k, sl: jnp.asarray(vals[k], dtype)
+
+        def exchange3(a, b, c):
+            """Neighbor edge rows of three arrays (zeros at global edges):
+            ((a_t, b_t, c_t), (a_b, b_b, c_b)) with rlo/rhi rows each."""
+            k = max(rlo, 1)
+            m = max(rhi, 1)
+            up = jnp.concatenate([a[-k:], b[-k:], c[-k:]], 0)
+            dn_ = jnp.concatenate([a[:m], b[:m], c[:m]], 0)
+            t = jax.lax.ppermute(
+                up, SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            bt = jax.lax.ppermute(
+                dn_, SHARD_AXIS, [(i, (i - 1) % S) for i in range(S)])
+            idx = jax.lax.axis_index(SHARD_AXIS)
+            t = jnp.where(idx == 0, jnp.zeros_like(t), t)
+            bt = jnp.where(idx == S - 1, jnp.zeros_like(bt), bt)
+            tops = (t[:k][-rlo:] if rlo else t[:0],
+                    t[k:2 * k][-rlo:] if rlo else t[:0],
+                    t[2 * k:][-rlo:] if rlo else t[:0])
+            bots = (bt[:m][:rhi], bt[m:2 * m][:rhi], bt[2 * m:][:rhi])
+            return tops, bots
+
+        def pad8(top, bot):
+            """[8, C] halo blocks in the kernels'/overlap.py's contract:
+            top real rows LAST, bottom real rows FIRST."""
+            zt = jnp.zeros((8, C), dtype)
+            zb = jnp.zeros((8, C), dtype)
+            if rlo:
+                zt = zt.at[8 - rlo :, :].set(top)
+            if rhi:
+                zb = zb.at[:rhi, :].set(bot)
+            return zt, zb
+
+        def psum(s):
+            return jax.lax.psum(s, SHARD_AXIS) if sharded else s
+
+        def edge_dot(a_top, a_bot, miss_t, miss_b):
+            """sum(a_edge * miss) over both edges (f32)."""
+            f = jnp.float32(0)
+            if miss_t is not None:
+                f = f + jnp.sum((a_top * miss_t).astype(jnp.float32))
+            if miss_b is not None:
+                f = f + jnp.sum((a_bot * miss_b).astype(jnp.float32))
+            return f
+
+        def t0_edges(s_loc_t, s_loc_b):
+            """Zero-halo A(s) on the edge rows, recomputed in jnp from the
+            local edge strips (t never materializes in HBM): strips carry
+            rlo+rhi extra context rows."""
+            t0t = t0b = None
+            if rlo:
+                ext = jnp.concatenate(
+                    [jnp.zeros((rlo, C), dtype), s_loc_t], 0)
+                t0t = _apply(ext, offs, vals)[rlo : 2 * rlo]
+            if rhi:
+                ext = jnp.concatenate(
+                    [s_loc_b, jnp.zeros((rhi, C), dtype)], 0)
+                t0b = _apply(ext, offs, vals)[-2 * rhi : -rhi]
+            return t0t, t0b
 
         def local_run(x, r, p, vv, rt, rho, alpha, omega):
             was_flat = x.ndim == 1
@@ -921,21 +990,98 @@ class StencilOperator:
             rho, alpha, omega = (jnp.asarray(s, f32)
                                  for s in (rho, alpha, omega))
             # bootstrap dots (once per solve): <r, r> and <r~, r>
-            rr0 = jnp.sum((r * r).astype(f32))
-            rtr = jnp.sum((rt * r).astype(f32))
+            rr0 = psum(jnp.sum((r * r).astype(f32)))
+            rtr = psum(jnp.sum((rt * r).astype(f32)))
             hist = jnp.zeros(num_iterations + 1, f32).at[0].set(rr0)
 
             def body(i, carry):
                 x, r, p, vv, rho, alpha, omega, rtr, hist = carry
                 rho_new = rtr
                 beta = (rho_new / rho) * (alpha / omega)
-                p, vv, rtv = bicg_pv(r, p, vv, rt, beta, omega, **kw)
+                if not sharded:
+                    p, vv, rtv = bicg_pv(r, p, vv, rt, beta, omega, **kw)
+                    alpha = rho_new / rtv
+                    ts, tt = bicg_st(r, vv, alpha, **kw)
+                    omega = ts / tt
+                    x, r, rr, rtr = bicg_update(
+                        r, vv, x, p, rt, alpha, omega, **kw
+                    )
+                    hist = hist.at[i + 1].set(rr)
+                    return x, r, p, vv, rho_new, alpha, omega, rtr, hist
+
+                # ---- sharded: zero-halo passes + edge fixups ----------
+                # one fused exchange of r/p/v input edges; the kernels do
+                # not consume it, so it flies under the pv pass
+                (r_t, p_t, v_t), (r_b, p_b, v_b) = exchange3(r, p, vv)
+                bb = beta.astype(dtype)
+                om = omega.astype(dtype)
+                p, vv, rtv0 = bicg_pv(r, p, vv, rt, beta, omega, **kw)
+                # v = A p_new: p_new's halo rows derive from input halos
+                pn_t = r_t + bb * (p_t - om * v_t) if rlo else r_t
+                pn_b = r_b + bb * (p_b - om * v_b) if rhi else r_b
+                pt8, pb8 = pad8(pn_t, pn_b)
+                mv_t, mv_b = edge_missing(offs, pt8, pb8, Br, coeff)
+                if mv_t is not None:
+                    vv = vv.at[:rlo].add(mv_t)
+                if mv_b is not None:
+                    vv = vv.at[Br - rhi :].add(mv_b)
+                rtv = psum(rtv0 + edge_dot(rt[:rlo], rt[Br - rhi :],
+                                           mv_t, mv_b))
                 alpha = rho_new / rtv
-                ts, tt = bicg_st(r, vv, alpha, **kw)
+                al = alpha.astype(dtype)
+
+                # second exchange: the NEW v's edges (consumed only by the
+                # st/upd FIXUPS — the zero-halo kernels run without it)
+                (r2_t, v2_t, _), (r2_b, v2_b, _) = exchange3(r, vv, vv)
+                ts0, tt0 = bicg_st(r, vv, alpha, **kw)
+                s_t = r2_t - al * v2_t if rlo else r2_t   # s halo rows
+                s_b = r2_b - al * v2_b if rhi else r2_b
+                st8, sb8 = pad8(s_t, s_b)
+                mt_t, mt_b = edge_missing(offs, st8, sb8, Br, coeff)
+                # local s edge strips (with rlo+rhi context rows)
+                ctx = rlo + rhi
+                s_loc_t = (r[: rlo + ctx] - al * vv[: rlo + ctx]
+                           if rlo else None)
+                s_loc_b = (r[Br - rhi - ctx :] - al * vv[Br - rhi - ctx :]
+                           if rhi else None)
+                t0t, t0b = t0_edges(s_loc_t, s_loc_b)
+                ts = psum(ts0 + edge_dot(
+                    s_loc_t[:rlo] if rlo else None,
+                    s_loc_b[-rhi:] if rhi else None, mt_t, mt_b))
+                dtt = jnp.float32(0)
+                if mt_t is not None:
+                    dtt = dtt + jnp.sum(
+                        (2.0 * t0t * mt_t + mt_t * mt_t).astype(f32))
+                if mt_b is not None:
+                    dtt = dtt + jnp.sum(
+                        (2.0 * t0b * mt_b + mt_b * mt_b).astype(f32))
+                tt = psum(tt0 + dtt)
                 omega = ts / tt
-                x, r, rr, rtr = bicg_update(
+                om2 = omega.astype(dtype)
+
+                x, r, rr0_, rtr0 = bicg_update(
                     r, vv, x, p, rt, alpha, omega, **kw
                 )
+                # r' = s - omega t: edge correction delta = -omega * miss
+                drr = jnp.float32(0)
+                drtr = jnp.float32(0)
+                if mt_t is not None:
+                    d_t = -om2 * mt_t
+                    r0e = s_loc_t[:rlo] - om2 * t0t
+                    r = r.at[:rlo].add(d_t)
+                    drr = drr + jnp.sum(
+                        (2.0 * r0e * d_t + d_t * d_t).astype(f32))
+                    drtr = drtr + jnp.sum((rt[:rlo] * d_t).astype(f32))
+                if mt_b is not None:
+                    d_b = -om2 * mt_b
+                    r0e = s_loc_b[-rhi:] - om2 * t0b
+                    r = r.at[Br - rhi :].add(d_b)
+                    drr = drr + jnp.sum(
+                        (2.0 * r0e * d_b + d_b * d_b).astype(f32))
+                    drtr = drtr + jnp.sum(
+                        (rt[Br - rhi :] * d_b).astype(f32))
+                rr = psum(rr0_ + drr)
+                rtr = psum(rtr0 + drtr)
                 hist = hist.at[i + 1].set(rr)
                 return x, r, p, vv, rho_new, alpha, omega, rtr, hist
 
@@ -948,7 +1094,36 @@ class StencilOperator:
             return x, r, p, vv, rho, alpha, omega, hist
 
         dn = (0, 1, 2, 3) if donate else ()
-        return jax.jit(local_run, donate_argnums=dn)
+        if not sharded:
+            return jax.jit(local_run, donate_argnums=dn)
+
+        spec2 = P(SHARD_AXIS, None)
+        spec1 = P(SHARD_AXIS)
+
+        fns = {}
+
+        def build(ndim):
+            fn = fns.get(ndim)
+            if fn is None:
+                spec = spec1 if ndim == 1 else spec2
+                fn = jax.jit(
+                    jax.shard_map(
+                        local_run,
+                        mesh=self.mesh,
+                        in_specs=(spec,) * 5 + (P(), P(), P()),
+                        out_specs=(spec,) * 4 + (P(), P(), P(), P()),
+                        check_vma=False,
+                    ),
+                    donate_argnums=dn,
+                )
+                fns[ndim] = fn
+            return fn
+
+        def runner(x, r, p, vv, rt, rho, alpha, omega):
+            return build(x.ndim)(x, r, p, vv, rt, rho, alpha, omega)
+
+        runner.build = build
+        return runner
 
     def _make_pallas3d_cg_runner(self, num_iterations: int, donate: bool = False):
         """Fused CG over the 3-D plane-streaming kernels: each iteration is

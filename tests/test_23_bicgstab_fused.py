@@ -204,3 +204,74 @@ def test_fused_1d_flat_decomposition():
     p2, op2, s2 = build(True)
     h2 = np.asarray(s2.solve(8))
     np.testing.assert_allclose(h1, h2, rtol=2e-3)
+
+
+def build_sys_sharded(shape, pieces, mesh, no_fused=False):
+    import os
+
+    from legionsolvers_tpu import (
+        BlockPartition,
+        BiCGStabSolver,
+        PartitionedVector,
+        SolverOptions,
+        SquarePlanner,
+        StencilOperator,
+        laplacian_stencil,
+    )
+
+    F32 = SolverOptions(entry_dtype=jnp.float32)
+    n = int(np.prod(shape))
+    part = BlockPartition(n, pieces)
+    if no_fused:
+        os.environ["LEGIONSOLVERS_NO_FUSED_BICGSTAB"] = "1"
+    try:
+        op = StencilOperator(shape, laplacian_stencil(2), partition=part,
+                             mesh=mesh, options=F32)
+        planner = SquarePlanner(mesh=mesh, options=F32)
+        gs = shape if op.uses_pallas else None
+        planner.add_sol_vector(PartitionedVector(
+            "s", part, mesh=mesh, options=F32, grid_shape=gs).zero_fill())
+        planner.add_rhs_vector(PartitionedVector(
+            "b", part, mesh=mesh, options=F32,
+            grid_shape=gs).constant_fill(1.0))
+        planner.add_operator(op, 0, 0)
+        return planner, op, BiCGStabSolver(planner)
+    finally:
+        os.environ.pop("LEGIONSOLVERS_NO_FUSED_BICGSTAB", None)
+
+
+@pytest.mark.parametrize("pieces,iters", [(4, 1), (4, 8), (8, 6)])
+def test_fused_sharded_matches_transcription(pieces, iters, mesh4, mesh8):
+    """Sharded fused BiCGStab (zero-halo passes + edge/dot fixups from
+    exchanged input halos) vs the transcription across shard boundaries."""
+    mesh = mesh4 if pieces == 4 else mesh8
+    shape = (16 * pieces, 128)  # 16-row local blocks: the minimum
+    planner, op, solver = build_sys_sharded(shape, pieces, mesh)
+    assert op.supports_fused_bicgstab
+    assert solver._make_fused_runner(1) is not None
+    h_fused = np.asarray(solver.solve(iters))
+
+    planner2, op2, solver2 = build_sys_sharded(shape, pieces, mesh,
+                                               no_fused=True)
+    h_ref = np.asarray(solver2.solve(iters))
+    np.testing.assert_allclose(h_fused, h_ref, rtol=3e-3)
+    x1 = planner.sol_vectors[0].to_numpy()
+    x2 = planner2.sol_vectors[0].to_numpy()
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=5e-3 * np.abs(x2).max())
+
+
+def test_fused_sharded_matches_single_shard(mesh4):
+    """The SAME problem sharded vs unsharded through the fused path (any
+    fixup algebra error shows up as a shard-boundary artifact)."""
+    shape = (128, 128)
+    p4, op4, s4 = build_sys_sharded(shape, 4, mesh4)
+    assert op4.supports_fused_bicgstab
+    h4 = np.asarray(s4.solve(7))
+    p1, op1, s1 = build_sys_sharded(shape, 1, None)
+    h1 = np.asarray(s1.solve(7))
+    # f32 BiCGStab amplifies reduction-order differences (psum of shard
+    # partials vs one flat sum); 0.5% envelope like the other comparisons
+    np.testing.assert_allclose(h4, h1, rtol=5e-3)
+    x4 = p4.sol_vectors[0].to_numpy()
+    x1 = p1.sol_vectors[0].to_numpy()
+    np.testing.assert_allclose(x4, x1, rtol=0, atol=5e-3 * np.abs(x1).max())
