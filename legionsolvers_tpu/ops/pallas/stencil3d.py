@@ -23,6 +23,10 @@ Modes mirror ``stencil2d._stencil_call``:
 * ``mode="update"``: x' = x + alpha p, r' = r - alpha (A p), rr = <r', r'>
                      with A p formed in VMEM (20 B/elt)
 
+:func:`grid3d_cg_xpay_pq` is a separate driver (two plane streams): p = r
++ beta p_old formed plane-by-plane in VMEM, then <p, A p> — 12 B/elt, so a
+fused-CG iteration is 32 B/unknown instead of 36 (XLA xpay + pq).
+
 Geometry requirements: Z a multiple of 128, |oy| <= 8, |oz| <= 128, and the
 padded-plane working set must fit the VMEM budget (checked by
 :func:`supports3d`).
@@ -268,6 +272,170 @@ def grid3d_stencil_matvec(
         y, dot = result
         return y, dot[0, 0]
     return result[0]
+
+
+def supports3d_xpay_pq(Y: int, Z: int, itemsize: int = 4) -> bool:
+    """VMEM check for the dual-stream xpay_pq driver: two 4-slot plane
+    buffers + the combined 4-slot buffer + ~3 temporaries + the p output
+    stream."""
+    need = (12 + 3) * _plane_bytes(Y, Z, itemsize)
+    need += 4 * Y * Z * itemsize
+    return need <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "values", "interpret")
+)
+def grid3d_cg_xpay_pq(
+    r: jnp.ndarray,
+    p_old: jnp.ndarray,
+    beta: jnp.ndarray,
+    pn_top: jnp.ndarray,
+    pn_bot: jnp.ndarray,
+    *,
+    offsets: Tuple[Tuple[int, int, int], ...],
+    values: Tuple[float, ...],
+    interpret: bool = False,
+):
+    """(p, <p, A p>) with p = r + beta * p_old formed plane-by-plane in
+    VMEM (fused-CG pass 1 for 3-D; 12 B/elt).  ``pn_top``/``pn_bot`` are
+    the COMBINED p halo planes (r_halo + beta * p_halo), zeros at the
+    global edges; ``p_old``'s buffer is consumed."""
+    X, Y, Z = r.shape
+    dtype = r.dtype
+    if Z % 128 != 0:
+        raise ValueError(f"Z={Z} must be a multiple of 128")
+    if not all(abs(o[0]) <= 1 for o in offsets):
+        raise ValueError("plane-streaming kernel requires |ox| <= 1")
+    nt = X
+    YP, ZP = Y + 2 * PADY, Z + 2 * PADZ
+
+    def issue(j, hbm, buf, sems):
+        slot = jnp.asarray(j, jnp.int32) % 4
+        pltpu.make_async_copy(
+            hbm.at[pl.ds(j, 1), :, :],
+            buf.at[pl.ds(slot, 1), pl.ds(PADY, Y), pl.ds(PADZ, Z)],
+            sems.at[slot],
+        ).start()
+
+    def wait(j, hbm, buf, sems):
+        slot = jnp.asarray(j, jnp.int32) % 4
+        pltpu.make_async_copy(
+            hbm.at[pl.ds(0, 1), :, :],
+            buf.at[pl.ds(slot, 1), pl.ds(PADY, Y), pl.ds(PADZ, Z)],
+            sems.at[slot],
+        ).wait()
+
+    def kernel(r_hbm, p_hbm, beta_ref, top_ref, bot_ref,
+               po_ref, pq_ref, rbuf, pbuf, comb, rs, ps):
+        i = pl.program_id(0)
+        bv = beta_ref[0, 0].astype(dtype)
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, r_hbm, rbuf, rs)
+            issue(0, p_hbm, pbuf, ps)
+            if nt > 1:
+                issue(1, r_hbm, rbuf, rs)
+                issue(1, p_hbm, pbuf, ps)
+
+        @pl.when(i + 2 < nt)
+        def _():
+            issue(i + 2, r_hbm, rbuf, rs)
+            issue(i + 2, p_hbm, pbuf, ps)
+
+        @pl.when(i == 0)
+        def _():
+            for buf in (rbuf, pbuf, comb):
+                for sl in range(4):
+                    buf[sl, 0:PADY, :] = jnp.zeros((PADY, ZP), dtype)
+                    buf[sl, PADY + Y :, :] = jnp.zeros((PADY, ZP), dtype)
+                    buf[sl, :, 0:PADZ] = jnp.zeros((YP, PADZ), dtype)
+                    buf[sl, :, PADZ + Z :] = jnp.zeros((YP, PADZ), dtype)
+            # plane -1 = the combined halo (slot 3, see _stencil3d_call)
+            comb[3, PADY : PADY + Y, PADZ : PADZ + Z] = top_ref[:, :]
+            wait(0, r_hbm, rbuf, rs)
+            wait(0, p_hbm, pbuf, ps)
+            comb[0, PADY : PADY + Y, PADZ : PADZ + Z] = (
+                rbuf[0, PADY : PADY + Y, PADZ : PADZ + Z]
+                + bv * pbuf[0, PADY : PADY + Y, PADZ : PADZ + Z]
+            )
+
+        @pl.when(i + 1 < nt)
+        def _():
+            wait(i + 1, r_hbm, rbuf, rs)
+            wait(i + 1, p_hbm, pbuf, ps)
+            sl = (i + 1) % 4
+            comb[sl, PADY : PADY + Y, PADZ : PADZ + Z] = (
+                rbuf[sl, PADY : PADY + Y, PADZ : PADZ + Z]
+                + bv * pbuf[sl, PADY : PADY + Y, PADZ : PADZ + Z]
+            )
+
+        @pl.when(i == nt - 1)
+        def _():
+            comb[nt % 4, PADY : PADY + Y, PADZ : PADZ + Z] = bot_ref[:, :]
+
+        sm1, s0, sp1 = (i - 1) % 4, i % 4, (i + 1) % 4
+        planes = {-1: comb[sm1, :, :], 0: comb[s0, :, :],
+                  1: comb[sp1, :, :]}
+        acc = None
+        for (ox, oy, oz), v in zip(offsets, values):
+            sh = jax.lax.slice(
+                planes[ox], (PADY + oy, PADZ + oz),
+                (PADY + oy + Y, PADZ + oz + Z))
+            term = jnp.asarray(v, dtype) * sh
+            acc = term if acc is None else acc + term
+        body = jax.lax.slice(planes[0], (PADY, PADZ), (PADY + Y, PADZ + Z))
+        po_ref[0, :, :] = body
+        part = jnp.sum((body * acc).astype(jnp.float32))
+
+        @pl.when(i == 0)
+        def _():
+            pq_ref[0, 0] = part
+
+        @pl.when(i > 0)
+        def _():
+            pq_ref[0, 0] = pq_ref[0, 0] + part
+
+    blk = pl.BlockSpec((1, Y, Z), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    po, pq = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            smem,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={1: 0},  # p_old buffer becomes p
+        scratch_shapes=[
+            pltpu.VMEM((4, YP, ZP), dtype),
+            pltpu.VMEM((4, YP, ZP), dtype),
+            pltpu.VMEM((4, YP, ZP), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * len(offsets) + 4) * X * Y * Z,
+            bytes_accessed=3 * X * Y * Z * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r, p_old, jnp.asarray(beta, jnp.float32).reshape(1, 1),
+      pn_top, pn_bot)
+    return po, pq[0, 0]
 
 
 def grid3d_cg_pq(p, halo_top, halo_bot, *, offsets, values, interpret=False):

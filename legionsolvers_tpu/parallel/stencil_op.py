@@ -1126,13 +1126,19 @@ class StencilOperator:
         return runner
 
     def _make_pallas3d_cg_runner(self, num_iterations: int, donate: bool = False):
-        """Fused CG over the 3-D plane-streaming kernels: each iteration is
-        an XLA xpay (p = r + beta p, 12 B/elt) + a ``pq`` pass (<p, A p>
-        with A p formed in VMEM, 4 B/elt) + an ``update`` pass (20 B/elt) —
-        36 B/unknown/iteration, one p halo-plane exchange per iteration.
-        Same contract as the 2-D runner: run(x, r, p, rr0) ->
-        (x, r, p, history)."""
-        from ..ops.pallas.stencil3d import grid3d_cg_pq, grid3d_cg_update
+        """Fused CG over the 3-D plane-streaming kernels.  Where VMEM
+        allows, each iteration is a dual-stream ``xpay_pq`` pass (p = r +
+        beta p formed plane-by-plane in VMEM, <p, A p> fused; 12 B/elt) +
+        an ``update`` pass (20 B/elt) = 32 B/unknown/iteration; otherwise
+        the XLA xpay + ``pq`` + ``update`` schedule (36 B).  One p
+        halo-plane exchange per iteration.  Same contract as the 2-D
+        runner: run(x, r, p, rr0) -> (x, r, p, history)."""
+        from ..ops.pallas.stencil3d import (
+            grid3d_cg_pq,
+            grid3d_cg_update,
+            grid3d_cg_xpay_pq,
+            supports3d_xpay_pq,
+        )
 
         v = self._view
         Y, Z, Br = v["Y"], v["Z"], v["Br"]
@@ -1140,6 +1146,8 @@ class StencilOperator:
         sharded = S > 1
         interpret = jax.default_backend() == "cpu"
         kw = dict(offsets=v["offs3"], values=v["vals"], interpret=interpret)
+        itemsize = jnp.dtype(self.options.entry_dtype).itemsize
+        fuse_xpay = supports3d_xpay_pq(Y, Z, itemsize)
 
         def psum(s):
             return jax.lax.psum(s, SHARD_AXIS) if sharded else s
@@ -1157,8 +1165,23 @@ class StencilOperator:
         def body(i, carry):
             x, r, p, rr, rr_prev, hist = carry
             beta = (rr / rr_prev).astype(p.dtype)
-            p = r + beta * p
-            x, r, rr_new, hist = half_step(x, r, p, rr, hist, i + 1)
+            if not fuse_xpay:
+                p = r + beta * p
+                x, r, rr_new, hist = half_step(x, r, p, rr, hist, i + 1)
+                return x, r, p, rr_new, rr, hist
+            # dual-stream pass: combined p halo = r_halo + beta * p_halo
+            rt, rb = self._exchange_planes3d(r, sharded=sharded)
+            pt, pb = self._exchange_planes3d(p, sharded=sharded)
+            pn_t = rt + beta * pt
+            pn_b = rb + beta * pb
+            p, pq = grid3d_cg_xpay_pq(r, p, beta, pn_t, pn_b, **kw)
+            pq = psum(pq)
+            alpha = rr / pq
+            x, r, rr_new = grid3d_cg_update(
+                p, x, r, alpha, pn_t, pn_b, **kw
+            )
+            rr_new = psum(rr_new)
+            hist = hist.at[i + 1].set(rr_new)
             return x, r, p, rr_new, rr, hist
 
         def local_run(x, r, p, rr0):

@@ -47,7 +47,8 @@ from __future__ import annotations
 CG_PASSES = {
     "fused2d_x2": 3,  # s-step: read x/r/p + write x/r/p per TWO iterations
     "fused2d": 8,
-    "fused3d": 9,
+    "fused3d_xp": 8,  # dual-stream xpay_pq (12) + update (20)
+    "fused3d": 9,     # XLA xpay (12) + pq (4) + update (20)
     "fused_jnp": 12,
     "classic": 14,
 }
@@ -92,6 +93,10 @@ def cg_schedule(solver) -> str:
         if view is None:
             return "fused_jnp"
         if view.get("kind") == "3d":
+            from ..ops.pallas.stencil3d import supports3d_xpay_pq
+
+            if supports3d_xpay_pq(view["Y"], view["Z"]):
+                return "fused3d_xp"
             return "fused3d"
         # the s-step schedule needs >= 2 iterations; benchmark runs always
         # qualify, a single step() falls back to fused2d with the same

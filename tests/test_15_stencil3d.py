@@ -91,3 +91,56 @@ def test_pallas3d_fused_cg_matches_linearized(dim_sel, mesh4):
     hp, hl = run(True), run(False)
     rel = np.abs(hp - hl) / np.maximum(np.abs(hl), 1e-12)
     assert rel.max() < 5e-3
+
+
+def test_fused3d_xpay_pq_matches_classic(mesh4):
+    """The dual-stream xpay_pq 3-D schedule (32 B/unknown) vs classic CG,
+    unsharded and sharded."""
+    import numpy as np
+
+    from legionsolvers_tpu import (
+        BlockPartition,
+        CGSolver,
+        PartitionedVector,
+        SolverOptions,
+        SquarePlanner,
+        StencilOperator,
+        laplacian_stencil,
+    )
+    from legionsolvers_tpu.ops.pallas.stencil3d import supports3d_xpay_pq
+    from legionsolvers_tpu.utils.roofline import solver_bytes_per_iteration
+
+    F32 = SolverOptions(entry_dtype=jnp.float32)
+    shape = (16, 32, 128)
+    n = int(np.prod(shape))
+    assert supports3d_xpay_pq(32, 128)
+
+    def build(pieces, mesh):
+        part = BlockPartition(n, pieces)
+        op = StencilOperator(shape, laplacian_stencil(3), partition=part,
+                             mesh=mesh, options=F32)
+        pl_ = SquarePlanner(mesh=mesh, options=F32)
+        gs = shape if op.uses_pallas else None
+        pl_.add_sol_vector(PartitionedVector(
+            "s", part, mesh=mesh, options=F32, grid_shape=gs).zero_fill())
+        pl_.add_rhs_vector(PartitionedVector(
+            "b", part, mesh=mesh, options=F32,
+            grid_shape=gs).constant_fill(1.0))
+        pl_.add_operator(op, 0, 0)
+        return pl_, op
+
+    for pieces, mesh in ((1, None), (4, mesh4)):
+        p1, op1 = build(pieces, mesh)
+        s1 = CGSolver(p1)
+        _, sched = solver_bytes_per_iteration(s1, n)
+        assert sched == "fused3d_xp"
+        h1 = np.asarray(s1.solve(8))
+        p2, _ = build(pieces, mesh)
+        s2 = CGSolver(p2)
+        s2._make_fused_runner = lambda k: None
+        h2 = np.asarray(s2.solve(8))
+        np.testing.assert_allclose(h1, h2, rtol=5e-4)
+        x1 = p1.sol_vectors[0].to_numpy()
+        x2 = p2.sol_vectors[0].to_numpy()
+        np.testing.assert_allclose(x1, x2, rtol=0,
+                                   atol=2e-3 * np.abs(x2).max())
