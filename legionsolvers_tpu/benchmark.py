@@ -165,7 +165,12 @@ def main(argv=None, bw=None):
                 comp_ms = sstep_compute_seconds_per_iteration(
                     view["offs"], view["vals"], n, rates
                 ) * 1e3
-                if comp_ms > sol_ms:
+                # an estimate the kernel already BEAT is un-tight —
+                # discard rather than report a >100% "roofline" (same
+                # rule as bench.py)
+                if ms < comp_ms:
+                    pass
+                elif comp_ms > sol_ms:
                     sol_ms, binding = comp_ms, "compute"
         pct = 100 * sol_ms / ms
     roofline = (f", {pct:.1f}% of {binding} roofline"

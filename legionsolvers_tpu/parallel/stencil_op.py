@@ -888,14 +888,20 @@ class StencilOperator:
         if os.environ.get("LEGIONSOLVERS_NO_FUSED_BICGSTAB"):
             return False
         v = self._view
-        if v is None or v.get("kind") == "3d":
+        if v is None:
             return False
+        itemsize = jnp.dtype(self.options.entry_dtype).itemsize
+        if v.get("kind") == "3d":
+            if self.partition.num_pieces > 1:
+                return False  # 3-D fused BiCGStab is single-shard (v1)
+            from ..ops.pallas.bicgstab3d import supports3d_bicgstab
+
+            return supports3d_bicgstab(v["Y"], v["Z"], v["offs3"], itemsize)
         if self.partition.num_pieces > 1:
             if self.mesh is None or v["Br"] < 16:
                 return False
         from ..ops.pallas.bicgstab2d import bicgstab_supported
 
-        itemsize = jnp.dtype(self.options.entry_dtype).itemsize
         return bicgstab_supported(v["Br"], v["C"], v["offs"], itemsize)
 
     def make_fused_bicgstab_runner(self, num_iterations: int,
@@ -908,11 +914,13 @@ class StencilOperator:
         (x, r, p, v, rho, alpha, omega, history)`` with history[0] =
         <r, r> on entry; exact continuation of the transcription
         recurrence (reference: BiCGStabSolver.hpp:64-82) from any state."""
+        v = self._view
+        if v.get("kind") == "3d":
+            return self._make_bicgstab3d_runner(num_iterations, donate)
         from ..ops.pallas.bicgstab2d import bicg_pv, bicg_st, bicg_update
         from .overlap import edge_missing
         from .sstep_sharded import _apply
 
-        v = self._view
         C, Br, offs, vals = v["C"], v["Br"], v["offs"], v["vals"]
         S = self.partition.num_pieces
         sharded = S > 1
@@ -1124,6 +1132,60 @@ class StencilOperator:
 
         runner.build = build
         return runner
+
+    def _make_bicgstab3d_runner(self, num_iterations: int,
+                                donate: bool = False):
+        """3-D fused BiCGStab (single shard): the plane-streaming analogs
+        of the three 2-D passes (ops/pallas/bicgstab3d.py), 60 B/unknown.
+        Same contract as the 2-D runner."""
+        from ..ops.pallas.bicgstab3d import (
+            bicg3d_pv,
+            bicg3d_st,
+            bicg3d_update,
+        )
+
+        v = self._view
+        Y, Z, Br = v["Y"], v["Z"], v["Br"]
+        interpret = jax.default_backend() == "cpu"
+        kw = dict(offsets=v["offs3"], values=v["vals"], interpret=interpret)
+
+        def local_run(x, r, p, vv, rt, rho, alpha, omega):
+            was_flat = x.ndim == 1
+            if was_flat:
+                x, r, p, vv, rt = (a.reshape(Br, Y, Z)
+                                   for a in (x, r, p, vv, rt))
+            f32 = jnp.float32
+            rho, alpha, omega = (jnp.asarray(s, f32)
+                                 for s in (rho, alpha, omega))
+            rr0 = jnp.sum((r * r).astype(f32))
+            rtr = jnp.sum((rt * r).astype(f32))
+            hist = jnp.zeros(num_iterations + 1, f32).at[0].set(rr0)
+            zplane = jnp.zeros((Y, Z), x.dtype)
+
+            def body(i, carry):
+                x, r, p, vv, rho, alpha, omega, rtr, hist = carry
+                rho_new = rtr
+                beta = (rho_new / rho) * (alpha / omega)
+                p, vv, rtv = bicg3d_pv(
+                    r, p, vv, rt, beta, omega, zplane, zplane, **kw)
+                alpha = rho_new / rtv
+                ts, tt = bicg3d_st(r, vv, alpha, zplane, zplane, **kw)
+                omega = ts / tt
+                x, r, rr, rtr = bicg3d_update(
+                    r, vv, x, p, rt, alpha, omega, zplane, zplane, **kw)
+                hist = hist.at[i + 1].set(rr)
+                return x, r, p, vv, rho_new, alpha, omega, rtr, hist
+
+            x, r, p, vv, rho, alpha, omega, rtr, hist = jax.lax.fori_loop(
+                0, num_iterations, body,
+                (x, r, p, vv, rho, alpha, omega, rtr, hist),
+            )
+            if was_flat:
+                x, r, p, vv = (a.reshape(-1) for a in (x, r, p, vv))
+            return x, r, p, vv, rho, alpha, omega, hist
+
+        dn = (0, 1, 2, 3) if donate else ()
+        return jax.jit(local_run, donate_argnums=dn)
 
     def _make_pallas3d_cg_runner(self, num_iterations: int, donate: bool = False):
         """Fused CG over the 3-D plane-streaming kernels.  Where VMEM

@@ -182,7 +182,10 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
             and planner.row_partitioned_matrices[0][1:] == (0, 0)
             and getattr(ops[0], "supports_fused_bicgstab", False)
         ):
-            return 15 * itemsize * n, "bicgstab_fused2d"
+            kind = getattr(ops[0], "_view", None) or {}
+            label = ("bicgstab_fused3d" if kind.get("kind") == "3d"
+                     else "bicgstab_fused2d")
+            return 15 * itemsize * n, label
         fused = all(
             getattr(op, "supports_matvec_dot", False) for op in ops
         ) and len(ops) == solver.planner.num_spaces
