@@ -275,3 +275,54 @@ def test_fused_sharded_matches_single_shard(mesh4):
     x4 = p4.sol_vectors[0].to_numpy()
     x1 = p1.sol_vectors[0].to_numpy()
     np.testing.assert_allclose(x4, x1, rtol=0, atol=5e-3 * np.abs(x1).max())
+
+
+def test_fused_3d_matches_transcription():
+    """The plane-streaming 3-D fused BiCGStab (bicgstab3d.py) vs the
+    transcription on a 3-D 7-pt system."""
+    import os
+
+    from legionsolvers_tpu import (
+        BlockPartition,
+        BiCGStabSolver,
+        PartitionedVector,
+        SolverOptions,
+        SquarePlanner,
+        StencilOperator,
+        laplacian_stencil,
+    )
+    from legionsolvers_tpu.utils.roofline import solver_bytes_per_iteration
+
+    F32 = SolverOptions(entry_dtype=jnp.float32)
+    shape = (8, 16, 128)
+    n = 8 * 16 * 128
+
+    def build(no_fused):
+        if no_fused:
+            os.environ["LEGIONSOLVERS_NO_FUSED_BICGSTAB"] = "1"
+        try:
+            part = BlockPartition(n, 1)
+            op = StencilOperator(shape, laplacian_stencil(3),
+                                 partition=part, mesh=None, options=F32)
+            pl_ = SquarePlanner(mesh=None, options=F32)
+            gs = shape if op.uses_pallas else None
+            pl_.add_sol_vector(PartitionedVector(
+                "s", part, options=F32, grid_shape=gs).zero_fill())
+            pl_.add_rhs_vector(PartitionedVector(
+                "b", part, options=F32, grid_shape=gs).constant_fill(1.0))
+            pl_.add_operator(op, 0, 0)
+            return pl_, op, BiCGStabSolver(pl_)
+        finally:
+            os.environ.pop("LEGIONSOLVERS_NO_FUSED_BICGSTAB", None)
+
+    p1, op1, s1 = build(False)
+    assert op1.supports_fused_bicgstab
+    _, sched = solver_bytes_per_iteration(s1, n)
+    assert sched == "bicgstab_fused3d"
+    h1 = np.asarray(s1.solve(8))
+    p2, _, s2 = build(True)
+    h2 = np.asarray(s2.solve(8))
+    np.testing.assert_allclose(h1, h2, rtol=3e-3)
+    x1 = p1.sol_vectors[0].to_numpy()
+    x2 = p2.sol_vectors[0].to_numpy()
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=5e-3 * np.abs(x2).max())
