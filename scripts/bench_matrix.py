@@ -97,7 +97,8 @@ def discover_max_size(bw):
             ["-nx", "1024", "-ny", "512", "-nz", "512"],
             ["-nx", "1024", "-ny", "1024", "-nz", "512"]],
         4: [["-nx", "512", "-ny", "512", "-nz", "512"],
-            ["-nx", "1024", "-ny", "512", "-nz", "512"]],
+            ["-nx", "1024", "-ny", "512", "-nz", "512"],
+            ["-nx", "1024", "-ny", "1024", "-nz", "512"]],
     }
     results = {}
     for dim, ladder in ladders.items():
