@@ -5,6 +5,13 @@ Transcription of the reference's ``BiCGStabSolver<T>``
 indices (SOL=0, RHS=1, P=2, R=3, R_TILDE=4, U=5, V=6), same rho/alpha/omega
 recurrences carried as deferred Scalars, two matvecs per step.  ``solve``
 compiles the iteration once and scans it, tracking ||r||^2 per step.
+
+Numerics note (PROFILE_r03.md): rho = <r~, r> is a cancelling sum; in f32
+at very large n it falls below the term-rounding noise floor within a few
+iterations and the trajectory becomes reduction-order chaotic (fused and
+transcription paths split identically from any other ordering change).
+The reference runs f64 throughout; on f32-only hardware prefer CG/GMRES
+for convergence-critical large systems, or the f64 CPU path.
 """
 
 from __future__ import annotations
