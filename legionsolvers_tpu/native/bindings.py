@@ -71,6 +71,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, _i64p, _i64p, _f64p, ctypes.c_int64, _i64p,
         ctypes.c_int64, _f64p,
     ]
+    lib.rcm_permutation.restype = None
+    lib.rcm_permutation.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+    ]
     return lib
 
 
@@ -202,6 +206,33 @@ def dia_accumulate(rows, cols, vals, uoffs, padded, dtype):
         np.add.at(flat, idx * padded + rows[s:e],
                   np.asarray(vals[s:e], dtype))
     return coef
+
+
+def rcm_permutation(n, rows, cols):
+    """Reverse Cuthill-McKee ordering of the symmetrized pattern:
+    perm[i] = original index placed at position i, so A[perm][:, perm] is
+    banded (the scipy reverse_cuthill_mckee convention).  Native BFS with
+    George-Liu pseudo-peripheral starts; scipy.sparse.csgraph fallback.
+
+    This is build-time machinery for the TPU's no-fast-gather reality: the
+    planner reorders general sparse systems into banded form and solves in
+    the permuted basis (parallel/reorder.py)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    lib = _get()
+    if lib is not None:
+        perm = np.empty(n, np.int64)
+        lib.rcm_permutation(n, len(rows), rows, cols, perm)
+        return perm
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    a = coo_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    return np.asarray(
+        reverse_cuthill_mckee(a + a.T, symmetric_mode=True), np.int64
+    )
 
 
 def pack_ell_shard(

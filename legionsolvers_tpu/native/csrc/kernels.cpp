@@ -279,4 +279,136 @@ void dia_accumulate_f64(
     }
 }
 
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering of the symmetrized sparsity pattern.
+//
+// The TPU has no fast arbitrary gather (see ops/pallas/dia2d.py), so the
+// device-side answer to *general* sparsity is to make the matrix banded at
+// BUILD time: solve (P A P^T)(P x) = P b in the reordered basis (Krylov
+// iterations are orthogonal-similarity invariant) and permute only at the
+// solve boundaries.  This routine computes P: George-Liu pseudo-peripheral
+// start nodes, BFS with neighbors visited in increasing-degree order, final
+// order reversed; handles disconnected graphs.  The reference never needs
+// this — cuSPARSE SpMV gathers at full speed (CSRMatrixTasks.cu:14-156) —
+// which is exactly why the TPU build must own it.
+//
+// perm_out[i] = original index of the node placed at position i (the
+// scipy.sparse.csgraph.reverse_cuthill_mckee convention).
+// ---------------------------------------------------------------------------
+
+void rcm_permutation(
+    int64_t n, int64_t nnz,
+    const int64_t* rows, const int64_t* cols,
+    int64_t* perm_out
+) {
+    // symmetrized adjacency CSR (both directions, self-loops dropped)
+    std::vector<int64_t> deg(n, 0);
+    for (int64_t k = 0; k < nnz; ++k) {
+        if (rows[k] != cols[k]) { ++deg[rows[k]]; ++deg[cols[k]]; }
+    }
+    std::vector<int64_t> adj_ptr(n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) { adj_ptr[i + 1] = adj_ptr[i] + deg[i]; }
+    std::vector<int64_t> adj(adj_ptr[n]);
+    {
+        std::vector<int64_t> fill(adj_ptr.begin(), adj_ptr.end() - 1);
+        for (int64_t k = 0; k < nnz; ++k) {
+            if (rows[k] == cols[k]) continue;
+            adj[fill[rows[k]]++] = cols[k];
+            adj[fill[cols[k]]++] = rows[k];
+        }
+    }
+    // dedup neighbor lists (duplicate COO entries / symmetric inputs)
+    {
+        int64_t w = 0;
+        std::vector<int64_t> new_ptr(n + 1, 0);
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t b = adj_ptr[i], e = adj_ptr[i + 1];
+            std::sort(adj.begin() + b, adj.begin() + e);
+            int64_t start = w;
+            for (int64_t k = b; k < e; ++k) {
+                if (k == b || adj[k] != adj[k - 1]) { adj[w++] = adj[k]; }
+            }
+            new_ptr[i + 1] = new_ptr[i] + (w - start);
+        }
+        adj_ptr.swap(new_ptr);
+        for (int64_t i = 0; i < n; ++i) { deg[i] = adj_ptr[i + 1] - adj_ptr[i]; }
+    }
+
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int64_t> level_of(n);
+    int64_t out = 0;
+
+    auto bfs = [&](int64_t start, std::vector<int64_t>& order,
+                   int64_t* last_level_begin) -> int64_t {
+        // plain BFS recording levels; returns eccentricity, fills `order`
+        // with the component in BFS order and last_level_begin with the
+        // index where the final level starts.  Marks nodes 2 in `visited`
+        // during the sweep and unmarks after (1 = permanently placed).
+        order.clear();
+        order.push_back(start);
+        level_of[start] = 0;
+        int64_t head = 0;
+        visited[start] = 2;
+        int64_t ecc = 0, last_begin = 0;
+        while (head < static_cast<int64_t>(order.size())) {
+            int64_t u = order[head++];
+            if (level_of[u] > ecc) { ecc = level_of[u]; last_begin = head - 1; }
+            for (int64_t k = adj_ptr[u]; k < adj_ptr[u + 1]; ++k) {
+                int64_t v = adj[k];
+                if (visited[v] == 0) {
+                    visited[v] = 2;
+                    level_of[v] = level_of[u] + 1;
+                    order.push_back(v);
+                }
+            }
+        }
+        for (int64_t x : order) { visited[x] = 0; }  // unmark
+        *last_level_begin = last_begin;
+        return ecc;
+    };
+
+    std::vector<int64_t> comp, comp2;
+    for (int64_t root_scan = 0; root_scan < n; ++root_scan) {
+        if (visited[root_scan]) continue;
+        // George-Liu pseudo-peripheral node: start at the component's
+        // min-degree node reachable from root_scan, walk to the far level
+        int64_t start = root_scan;
+        int64_t last_begin = 0;
+        int64_t ecc = bfs(start, comp, &last_begin);
+        for (int iter = 0; iter < 8; ++iter) {
+            // min-degree node of the last level
+            int64_t best = comp[last_begin];
+            for (int64_t k = last_begin;
+                 k < static_cast<int64_t>(comp.size()); ++k) {
+                if (deg[comp[k]] < deg[best]) { best = comp[k]; }
+            }
+            int64_t lb2 = 0;
+            int64_t ecc2 = bfs(best, comp2, &lb2);
+            if (ecc2 > ecc) {
+                ecc = ecc2; start = best; comp.swap(comp2); last_begin = lb2;
+            } else {
+                break;
+            }
+        }
+        // Cuthill-McKee BFS from `start`, neighbors by increasing degree
+        int64_t comp_begin = out;
+        perm_out[out++] = start;
+        visited[start] = 1;
+        int64_t head = comp_begin;
+        std::vector<std::pair<int64_t, int64_t>> nbrs;  // (deg, node)
+        while (head < out) {
+            int64_t u = perm_out[head++];
+            nbrs.clear();
+            for (int64_t k = adj_ptr[u]; k < adj_ptr[u + 1]; ++k) {
+                int64_t v = adj[k];
+                if (!visited[v]) { visited[v] = 1; nbrs.push_back({deg[v], v}); }
+            }
+            std::sort(nbrs.begin(), nbrs.end());
+            for (auto& dv : nbrs) { perm_out[out++] = dv.second; }
+        }
+        // reverse this component's ordering (the "R" in RCM)
+        std::reverse(perm_out + comp_begin, perm_out + out);
+    }
+}
+
 }  // extern "C"

@@ -19,8 +19,10 @@ Total: 15 vector passes = 60 B/unknown/iter at f32 — 1.6x less HBM
 traffic than the transcription.  Each pass applies A exactly ONCE to an
 operand assembled from zero-padded windows, so no intermediate re-masking
 is needed (unlike the s-step CG chain); |dy| <= 8 and |dx| <= PADC as in
-the other kernels.  Single-shard only (the sharded path keeps the
-transcription schedule with its overlapped ppermutes).
+the other kernels.  Sharded runs use the SAME zero-halo passes plus
+input-derived edge fixups built in ``parallel/stencil_op.py`` (the
+``supports_fused_bicgstab`` gate there is the authoritative capability
+map; see also ``parallel/overlap.py``).
 
 Reference: BiCGStabSolver.hpp:64-82 — six separate task launches per
 iteration there; the TPU analog of its async-future overlap is fusion.

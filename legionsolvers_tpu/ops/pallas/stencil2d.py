@@ -722,12 +722,14 @@ def _sstep_call(
     """Shared driver for the s=2 kernels (modes ``gram2`` and ``step2``).
 
     Both stream r and p through dual double-buffered VMEM windows exactly
-    like :func:`grid2d_cg_xpay_pq`; there are no halo-block operands because
-    this family is single-shard only — the rows outside the grid are zeroed
-    in the window (Dirichlet), and every intermediate stencil application is
+    like :func:`grid2d_cg_xpay_pq`; there are no halo-block operands — each
+    pass is ZERO-HALO (rows outside the local grid are zeroed in the
+    window, Dirichlet), and every intermediate stencil application is
     re-masked to the real grid so chained applications see true matrix
-    powers, not zero-padded convolutions.  ``extra`` is () for gram2 and
-    (x, coef) for step2.
+    powers, not zero-padded convolutions.  Sharded runs reuse these same
+    zero-halo passes per shard and repair the edge rows + Gram entries
+    afterwards from pre-exchanged input halos (``parallel/sstep_sharded.py``).
+    ``extra`` is () for gram2 and (x, coef) for step2.
     """
     R, C = r.shape
     dtype = r.dtype
