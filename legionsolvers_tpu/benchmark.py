@@ -91,6 +91,10 @@ def main(argv=None, bw=None):
     p.add_argument("--bw", type=float, default=None,
                    help="pre-measured stream bandwidth (bytes/s): skips "
                    "the probe (used by subprocess harnesses)")
+    p.add_argument("--consume-rhs", action="store_true",
+                   help="CG max-size mode: 3 live vectors — the rhs buffer "
+                   "is donated through r and re-filled between runs "
+                   "(reference 2^30 1-node parity, bench_all_ls.py:366-379)")
     args = p.parse_args(argv)
     if bw is None:
         bw = args.bw
@@ -128,12 +132,27 @@ def main(argv=None, bw=None):
 
     if args.solver == 1 and not _os.environ.get("LEGIONSOLVERS_NO_DONATE"):
         solver.donate_workspace = True
+    consume = bool(
+        args.consume_rhs
+        or _os.environ.get("LEGIONSOLVERS_CONSUME_RHS")
+    ) and args.solver == 1 and getattr(solver, "donate_workspace", False)
+    if consume:
+        solver.consume_rhs = True
     short = max(args.it // 5, 1)
 
     def run(iters):
         # identical work every run: x0 = 0, b = 1, workspace re-derived
         for v in planner.sol_vectors:
             v.zero_fill()
+        if consume:
+            # the previous solve consumed b and left r/p holding their
+            # final 4 GB-class buffers: release them BEFORE re-filling b so
+            # the peak stays at 3 live vectors
+            for ws in planner.workspace_vectors:
+                for v in ws:
+                    v._data = None
+            for v in planner.rhs_vectors:
+                v.refill_constant(1.0)
         solver.reset()
         return solver.solve(iters)
 

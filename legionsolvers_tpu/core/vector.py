@@ -179,6 +179,24 @@ class PartitionedVector:
         self._data = None
         return self
 
+    def refill_constant(self, value) -> "PartitionedVector":
+        """``constant_fill`` that RELEASES the previous buffer before
+        allocating (and never materializes a template): the max-size path's
+        fill, where two live copies of a vector would not fit (used by the
+        consume-rhs benchmark mode after a solve donated this buffer)."""
+        self._data = None
+        if self.grid_shape is not None:
+            d = jnp.full(self.grid_shape, value, self.options.entry_dtype)
+        else:
+            idx = jnp.arange(self.partition.padded_size)
+            d = jnp.where(idx < self.n, value, 0).astype(
+                self.options.entry_dtype
+            )
+        if self.mesh is not None:
+            d = jax.device_put(d, self.sharding)
+        self.data = d
+        return self
+
     def random_fill(self, key=None, lo=0.0, hi=1.0) -> "PartitionedVector":
         """Uniform fill (reference: RandomFillTask, UtilityTasks.cpp:128-166)."""
         if key is None:

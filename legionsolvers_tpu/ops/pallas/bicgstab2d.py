@@ -188,11 +188,39 @@ def _accum(ref, i, col, part):
         ref[0, col] = ref[0, col] + part
 
 
+def _dot_accum(ref, i, col, ncols, a, b, compensated):
+    """Accumulate <a, b> into dot slot ``col`` across grid steps.  Under
+    ``compensated`` the reduction carries a two-float (hi, lo) pair — hi in
+    slot ``col``, lo in slot ``col + ncols`` — through the whole grid
+    (ops/ddsum.py): the TPU-native stand-in for the reference's native-f64
+    dot reductions, killing the f32 cancellation noise floor that makes
+    rho-class scalars reduction-order chaotic at large n (PROFILE_r03.md)."""
+    if not compensated:
+        _accum(ref, i, col, jnp.sum((a * b).astype(jnp.float32)))
+        return
+    from ..ddsum import dd_add, dd_dot_tile
+
+    hi, lo = dd_dot_tile(a, b)
+
+    @pl.when(i == 0)
+    def _():
+        ref[0, col] = hi
+        ref[0, col + ncols] = lo
+
+    @pl.when(i > 0)
+    def _():
+        h, l = dd_add(ref[0, col], ref[0, col + ncols], hi, lo)
+        ref[0, col] = h
+        ref[0, col + ncols] = l
+
+
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret",
+                              "compensated")
 )
 def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
-            tile_rows: int = 0, interpret: bool = False):
+            tile_rows: int = 0, interpret: bool = False,
+            compensated: bool = False):
     """(p_new, v_new = A p_new, <r~, v_new>); p/v buffers are consumed."""
     R, C = r.shape
     dtype = r.dtype
@@ -201,6 +229,7 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
         raise ValueError(f"unsupported geometry R={R} C={C}")
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
+    ND = 2 if compensated else 1  # dot slots (hi + lo under compensation)
     issue, wait = _mk_window_io(TR, C, nt)
 
     def kernel(r_hbm, p_hbm, v_hbm, rt_ref, sc_ref,
@@ -234,8 +263,7 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
         body = jax.lax.slice(pw, (PAD, PADC), (PAD + TR, PADC + C))
         po_ref[:, :] = body
         vo_ref[:, :] = vnew
-        _accum(dot_ref, i, 0,
-               jnp.sum((rt_ref[:, :] * vnew).astype(jnp.float32)))
+        _dot_accum(dot_ref, i, 0, 1, rt_ref[:, :], vnew, compensated)
 
     blk = lambda: pl.BlockSpec((TR, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -252,12 +280,12 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[blk(), blk(),
-                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                   pl.BlockSpec((1, ND), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((R, C), dtype),
             jax.ShapeDtypeStruct((R, C), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, ND), jnp.float32),
         ],
         input_output_aliases={1: 0, 2: 1},
         scratch_shapes=[
@@ -279,14 +307,16 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
         ),
         interpret=interpret,
     )(r, p, v, rt, sc)
-    return po, vo, dot[0, 0]
+    return po, vo, (dot[0, 0] + dot[0, 1] if compensated else dot[0, 0])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret",
+                              "compensated")
 )
 def bicg_st(r, v, alpha, *, offsets, values,
-            tile_rows: int = 0, interpret: bool = False):
+            tile_rows: int = 0, interpret: bool = False,
+            compensated: bool = False):
     """(<t, s>, <t, t>) with s = r - alpha v and t = A s both VMEM-only."""
     R, C = r.shape
     dtype = r.dtype
@@ -295,6 +325,7 @@ def bicg_st(r, v, alpha, *, offsets, values,
         raise ValueError(f"unsupported geometry R={R} C={C}")
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
+    ND = 4 if compensated else 2
     issue, wait = _mk_window_io(TR, C, nt)
 
     def kernel(r_hbm, v_hbm, sc_ref, dot_ref, rwin, vwin, rs, vs):
@@ -320,8 +351,8 @@ def bicg_st(r, v, alpha, *, offsets, values,
         sw = rwin[slot] - al * vwin[slot]
         t = _apply_window(sw, offsets, values, TR, C, dtype)
         sb = jax.lax.slice(sw, (PAD, PADC), (PAD + TR, PADC + C))
-        _accum(dot_ref, i, 0, jnp.sum((t * sb).astype(jnp.float32)))
-        _accum(dot_ref, i, 1, jnp.sum((t * t).astype(jnp.float32)))
+        _dot_accum(dot_ref, i, 0, 2, t, sb, compensated)
+        _dot_accum(dot_ref, i, 1, 2, t, t, compensated)
 
     (dot,) = pl.pallas_call(
         kernel,
@@ -331,9 +362,9 @@ def bicg_st(r, v, alpha, *, offsets, values,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+        out_specs=[pl.BlockSpec((1, ND), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((1, ND), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2, W, CW), dtype),
             pltpu.VMEM((2, W, CW), dtype),
@@ -351,14 +382,18 @@ def bicg_st(r, v, alpha, *, offsets, values,
         ),
         interpret=interpret,
     )(r, v, jnp.asarray(alpha, jnp.float32).reshape(1, 1))
+    if compensated:
+        return dot[0, 0] + dot[0, 2], dot[0, 1] + dot[0, 3]
     return dot[0, 0], dot[0, 1]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "tile_rows", "interpret",
+                              "compensated")
 )
 def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
-                tile_rows: int = 0, interpret: bool = False):
+                tile_rows: int = 0, interpret: bool = False,
+                compensated: bool = False):
     """(x', r', <r', r'>, <r~, r'>): x' = x + alpha p + omega s,
     r' = s - omega t with s/t recomputed in VMEM; x/r buffers consumed."""
     R, C = r.shape
@@ -368,6 +403,7 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
         raise ValueError(f"unsupported geometry R={R} C={C}")
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
+    ND = 4 if compensated else 2
     issue, wait = _mk_window_io(TR, C, nt)
 
     def kernel(r_hbm, v_hbm, x_ref, p_ref, rt_ref, sc_ref,
@@ -398,9 +434,8 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
         xo_ref[:, :] = x_ref[:, :] + al * p_ref[:, :] + om * sb
         rnew = sb - om * t
         ro_ref[:, :] = rnew
-        _accum(dot_ref, i, 0, jnp.sum((rnew * rnew).astype(jnp.float32)))
-        _accum(dot_ref, i, 1,
-               jnp.sum((rt_ref[:, :] * rnew).astype(jnp.float32)))
+        _dot_accum(dot_ref, i, 0, 2, rnew, rnew, compensated)
+        _dot_accum(dot_ref, i, 1, 2, rt_ref[:, :], rnew, compensated)
 
     blk = lambda: pl.BlockSpec((TR, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -416,12 +451,12 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[blk(), blk(),
-                   pl.BlockSpec((1, 2), lambda i: (0, 0),
+                   pl.BlockSpec((1, ND), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((R, C), dtype),
             jax.ShapeDtypeStruct((R, C), dtype),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, ND), jnp.float32),
         ],
         input_output_aliases={2: 0},  # x consumed; r NOT aliased (windowed)
         scratch_shapes=[
@@ -441,4 +476,6 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
         ),
         interpret=interpret,
     )(r, v, x, p, rt, sc)
+    if compensated:
+        return xo, ro, dot[0, 0] + dot[0, 2], dot[0, 1] + dot[0, 3]
     return xo, ro, dot[0, 0], dot[0, 1]

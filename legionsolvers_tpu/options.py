@@ -49,10 +49,20 @@ class SolverOptions:
 
     entry_dtype: dtype of matrix entries and vector elements.
     index_dtype: dtype of all index arrays (rows/cols/halo schedules).
+    compensated_dots: carry solver reduction scalars (rho-class dots) as
+        two-float (double-float) accumulations — the TPU-native stand-in
+        for the reference's native-f64 reductions (ops/ddsum.py; lowers the
+        f32 cancellation noise floor by ~2^25 at ~25 VPU ops/element for
+        the affected dots).  Honored by ``SquarePlanner.dot`` and the fused
+        BiCGStab kernels; defaults off because CG/GMRES carry only
+        positive-definite sums that do not need it.
     """
 
     entry_dtype: jnp.dtype = jnp.float32
     index_dtype: jnp.dtype = jnp.int32
+    compensated_dots: bool = bool(
+        int(os.environ.get("LEGIONSOLVERS_COMPENSATED_DOTS", "0"))
+    )
 
     def __post_init__(self) -> None:
         if CHECK_BOUNDS:

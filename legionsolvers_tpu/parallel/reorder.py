@@ -1,0 +1,180 @@
+"""Reordered-basis solves: RCM at build time, permutation only at the edges.
+
+The reference never reorders — cuSPARSE SpMV gathers arbitrary sparsity at
+full device speed (reference: CSRMatrixTasks.cu:14-156) — but the TPU has no
+fast gather, so *general* sparsity is made banded at build time instead:
+
+    solve  (P A P^T) (P x) = P b       with P = RCM permutation
+
+Krylov methods are invariant under orthogonal similarity: every dot product,
+norm, and recurrence coefficient matches the unpermuted iteration exactly
+(up to float summation order), so the residual histories and iteration
+counts are unchanged.  The permutation is applied ONCE per solve at the
+boundaries (``SquarePlanner.to_solver_basis``/``from_solver_basis`` — a
+handful of device gathers amortized over hundreds of iterations), never
+inside the hot loop.  This is the standard sparse-solver playbook (PETSc/
+hypre apply RCM for bandwidth reduction the same way); on TPU it is the
+difference between the 0.11 Gnnz/s XLA-gather cliff and the streaming
+DIA / windowed-ELL kernels.
+
+:class:`ReorderedOperator` wraps an operator built on the PERMUTED matrix.
+While a solve is in the reordered basis (``in_basis`` set by the planner),
+``matvec`` is the base operator's — zero overhead.  Outside a solve (eager
+``step()`` driving, debugging) it stays *correct* by permuting per call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class _PermutedMatrix:
+    """Host-side view of A under a symmetric permutation: entry (r, c) moves
+    to (iperm[r], iperm[c])."""
+
+    def __init__(self, matrix, iperm: np.ndarray):
+        self.rows = iperm[np.asarray(matrix.rows, np.int64)]
+        self.cols = iperm[np.asarray(matrix.cols, np.int64)]
+        self.vals = matrix.vals
+        self.n_domain = matrix.n_domain
+        self.n_range = matrix.n_range
+        self.n_kernel = matrix.n_kernel
+
+
+def rcm_reorder(matrix) -> tuple:
+    """(permuted_matrix, perm, iperm) with perm from the native RCM kernel;
+    perm[i] = original index at reordered position i."""
+    from ..native.bindings import rcm_permutation
+
+    n = matrix.n_range
+    perm = rcm_permutation(
+        n, np.asarray(matrix.rows, np.int64), np.asarray(matrix.cols, np.int64)
+    )
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+    return _PermutedMatrix(matrix, iperm), perm, iperm
+
+
+class ReorderedOperator:
+    """A in the original basis, computed by ``base`` in the RCM basis."""
+
+    def __init__(self, base, perm: np.ndarray, iperm: np.ndarray,
+                 partition, options):
+        self.base = base
+        self.partition = partition
+        self.options = options
+        P = partition.padded_size
+        n = len(perm)
+        tail = np.arange(n, P, dtype=np.int64)
+        idt = np.int32 if P <= np.iinfo(np.int32).max else np.int64
+        self.perm_np = perm
+        self.perm_dev = jnp.asarray(np.concatenate([perm, tail]).astype(idt))
+        self.iperm_dev = jnp.asarray(np.concatenate([iperm, tail]).astype(idt))
+        self.in_basis = False  # toggled by SquarePlanner.to_solver_basis
+
+    # ------------------------------------------------------------------
+    @property
+    def n_domain(self) -> int:
+        return self.base.n_domain
+
+    @property
+    def n_range(self) -> int:
+        return self.base.n_range
+
+    def nnz(self) -> int:
+        return self.base.nnz()
+
+    @property
+    def uses_pallas(self) -> bool:
+        return getattr(self.base, "uses_pallas", False)
+
+    @property
+    def supports_matvec_dot(self) -> bool:
+        return getattr(self.base, "supports_matvec_dot", False)
+
+    # ------------------------------------------------------------------
+    def device_state(self):
+        base_state = (
+            self.base.device_state()
+            if hasattr(self.base, "device_state")
+            else None
+        )
+        return (base_state, self.perm_dev, self.iperm_dev)
+
+    def set_device_state(self, state) -> None:
+        base_state, self.perm_dev, self.iperm_dev = state
+        if base_state is not None:
+            self.base.set_device_state(base_state)
+
+    # ------------------------------------------------------------------
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_basis:
+            return self.base.matvec(x)
+        py = self.base.matvec(jnp.take(x, self.perm_dev))
+        return jnp.take(py, self.iperm_dev)
+
+    def matvec_add(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        return y + self.matvec(x)
+
+    def matvec_dot(self, x: jnp.ndarray):
+        if self.in_basis:
+            return self.base.matvec_dot(x)
+        py, d = self.base.matvec_dot(jnp.take(x, self.perm_dev))
+        return jnp.take(py, self.iperm_dev), d
+
+    def rmatvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_basis:
+            return self.base.rmatvec(x)
+        py = self.base.rmatvec(jnp.take(x, self.perm_dev))
+        return jnp.take(py, self.iperm_dev)
+
+
+def try_reordered_operator(
+    matrix, partition, options, perm: Optional[np.ndarray] = None,
+) -> Optional[ReorderedOperator]:
+    """Build the best reordered operator for an explicit matrix that failed
+    the direct DIA gate, or None when reordering doesn't help.
+
+    Order of preference on the permuted matrix: DIA (banded after RCM —
+    streaming-speed kernel), then windowed ELL (scattered within the band).
+    ``perm`` forces a specific permutation (planner consistency when several
+    matrices must share one basis)."""
+    if partition.num_pieces != 1:
+        return None
+    if matrix.n_domain != matrix.n_range:
+        return None
+    n = matrix.n_range
+    if n < 1024:
+        return None  # the XLA fallback is fine at toy sizes
+    if perm is None:
+        pm, perm, iperm = rcm_reorder(matrix)
+    else:
+        iperm = np.empty(n, np.int64)
+        iperm[perm] = np.arange(n)
+        pm = _PermutedMatrix(matrix, iperm)
+
+    base = None
+    from .dia_op import MAX_DIAGONALS, MIN_DIA_FILL, DiaOperator
+    from ..native import bindings as native
+
+    uoffs = native.dia_unique_offsets(pm.rows, pm.cols, MAX_DIAGONALS)
+    if (
+        uoffs is not None
+        and pm.n_kernel >= MIN_DIA_FILL * len(uoffs) * partition.padded_size
+    ):
+        base = DiaOperator(pm, partition=partition, mesh=None, options=options)
+    if base is None:
+        from .winell_op import plan_winell, WinEllOperator
+
+        plan = plan_winell(
+            pm.rows, pm.cols, np.asarray(pm.vals), n,
+            partition.padded_size, np.dtype(options.entry_dtype),
+        )
+        if plan is not None:
+            base = WinEllOperator(pm, partition, options, plan=plan)
+    if base is None:
+        return None
+    return ReorderedOperator(base, perm, iperm, partition, options)

@@ -925,17 +925,19 @@ class StencilOperator:
         S = self.partition.num_pieces
         sharded = S > 1
         interpret = jax.default_backend() == "cpu"
-        kw = dict(offsets=offs, values=vals, interpret=interpret)
+        compensated = bool(self.options.compensated_dots)
+        kw = dict(offsets=offs, values=vals, interpret=interpret,
+                  compensated=compensated)
         rlo = max(0, -min(dy for dy, _ in offs))
         rhi = max(0, max(dy for dy, _ in offs))
         dtype = jnp.dtype(self.options.entry_dtype)
         coeff = lambda k, sl: jnp.asarray(vals[k], dtype)
 
-        def exchange3(a, b, c):
+        def exchange3(a, b, c, dlo, dhi):
             """Neighbor edge rows of three arrays (zeros at global edges):
-            ((a_t, b_t, c_t), (a_b, b_b, c_b)) with rlo/rhi rows each."""
-            k = max(rlo, 1)
-            m = max(rhi, 1)
+            ((a_t, b_t, c_t), (a_b, b_b, c_b)) with dlo/dhi rows each."""
+            k = max(dlo, 1)
+            m = max(dhi, 1)
             up = jnp.concatenate([a[-k:], b[-k:], c[-k:]], 0)
             dn_ = jnp.concatenate([a[:m], b[:m], c[:m]], 0)
             t = jax.lax.ppermute(
@@ -945,10 +947,10 @@ class StencilOperator:
             idx = jax.lax.axis_index(SHARD_AXIS)
             t = jnp.where(idx == 0, jnp.zeros_like(t), t)
             bt = jnp.where(idx == S - 1, jnp.zeros_like(bt), bt)
-            tops = (t[:k][-rlo:] if rlo else t[:0],
-                    t[k:2 * k][-rlo:] if rlo else t[:0],
-                    t[2 * k:][-rlo:] if rlo else t[:0])
-            bots = (bt[:m][:rhi], bt[m:2 * m][:rhi], bt[2 * m:][:rhi])
+            tops = (t[:k][-dlo:] if dlo else t[:0],
+                    t[k:2 * k][-dlo:] if dlo else t[:0],
+                    t[2 * k:][-dlo:] if dlo else t[:0])
+            bots = (bt[:m][:dhi], bt[m:2 * m][:dhi], bt[2 * m:][:dhi])
             return tops, bots
 
         def pad8(top, bot):
@@ -998,8 +1000,14 @@ class StencilOperator:
             rho, alpha, omega = (jnp.asarray(s, f32)
                                  for s in (rho, alpha, omega))
             # bootstrap dots (once per solve): <r, r> and <r~, r>
-            rr0 = psum(jnp.sum((r * r).astype(f32)))
-            rtr = psum(jnp.sum((rt * r).astype(f32)))
+            if compensated:
+                from ..ops.ddsum import dd_dot
+
+                rr0 = psum(dd_dot(r.reshape(-1), r.reshape(-1)))
+                rtr = psum(dd_dot(rt.reshape(-1), r.reshape(-1)))
+            else:
+                rr0 = psum(jnp.sum((r * r).astype(f32)))
+                rtr = psum(jnp.sum((rt * r).astype(f32)))
             hist = jnp.zeros(num_iterations + 1, f32).at[0].set(rr0)
 
             def body(i, carry):
@@ -1018,15 +1026,24 @@ class StencilOperator:
                     return x, r, p, vv, rho_new, alpha, omega, rtr, hist
 
                 # ---- sharded: zero-halo passes + edge fixups ----------
-                # one fused exchange of r/p/v input edges; the kernels do
-                # not consume it, so it flies under the pv pass
-                (r_t, p_t, v_t), (r_b, p_b, v_b) = exchange3(r, p, vv)
+                # ONE exchange per iteration, of depth-2 INPUT halos (r/p/v
+                # at 2*rlo / 2*rhi rows).  Every later fixup quantity is
+                # derived from it: p_new's halo elementwise, and
+                # v_new = A p_new's halo by applying the stencil to the
+                # derived p_new slab (the sstep_sharded.py technique at
+                # depth 2) — so the mid-iteration exchange of round 3
+                # (HLO_OVERLAP.txt non_overlapped entries) is gone and the
+                # single exchange is data-independent of all three passes.
+                (r_t, p_t, v_t), (r_b, p_b, v_b) = exchange3(
+                    r, p, vv, 2 * rlo, 2 * rhi)
                 bb = beta.astype(dtype)
                 om = omega.astype(dtype)
                 p, vv, rtv0 = bicg_pv(r, p, vv, rt, beta, omega, **kw)
-                # v = A p_new: p_new's halo rows derive from input halos
-                pn_t = r_t + bb * (p_t - om * v_t) if rlo else r_t
-                pn_b = r_b + bb * (p_b - om * v_b) if rhi else r_b
+                # p_new on the depth-2 halo rows (elementwise recurrence)
+                pn2_t = r_t + bb * (p_t - om * v_t) if rlo else r_t
+                pn2_b = r_b + bb * (p_b - om * v_b) if rhi else r_b
+                pn_t = pn2_t[-rlo:] if rlo else pn2_t
+                pn_b = pn2_b[:rhi] if rhi else pn2_b
                 pt8, pb8 = pad8(pn_t, pn_b)
                 mv_t, mv_b = edge_missing(offs, pt8, pb8, Br, coeff)
                 if mv_t is not None:
@@ -1038,9 +1055,26 @@ class StencilOperator:
                 alpha = rho_new / rtv
                 al = alpha.astype(dtype)
 
-                # second exchange: the NEW v's edges (consumed only by the
-                # st/upd FIXUPS — the zero-halo kernels run without it)
-                (r2_t, v2_t, _), (r2_b, v2_b, _) = exchange3(r, vv, vv)
+                # v_new's halo rows, DERIVED (not exchanged): A p_new on the
+                # neighbor edge needs p_new on [-2*rlo, rlo) — the derived
+                # depth-2 halo plus the pv pass's own first rows (p is p_new
+                # here).  Shards without a neighbor zero theirs (matching
+                # the zeroed exchange rows).
+                idx_s = jax.lax.axis_index(SHARD_AXIS)
+                r2_t = r_t[-rlo:] if rlo else r_t  # input r, unchanged
+                r2_b = r_b[:rhi] if rhi else r_b
+                if rlo:
+                    # A at rows [-rlo, 0) reads rows [-2*rlo, rhi)
+                    slab_t = jnp.concatenate([pn2_t, p[:rhi]], 0)
+                    v2_t = _apply(slab_t, offs, vals)[rlo : 2 * rlo]
+                    v2_t = jnp.where(
+                        idx_s == 0, jnp.zeros_like(v2_t), v2_t)
+                if rhi:
+                    # A at rows [Br, Br+rhi) reads rows [Br-rlo, Br+2*rhi)
+                    slab_b = jnp.concatenate([p[Br - rlo :], pn2_b], 0)
+                    v2_b = _apply(slab_b, offs, vals)[rlo : rlo + rhi]
+                    v2_b = jnp.where(
+                        idx_s == S - 1, jnp.zeros_like(v2_b), v2_b)
                 ts0, tt0 = bicg_st(r, vv, alpha, **kw)
                 s_t = r2_t - al * v2_t if rlo else r2_t   # s halo rows
                 s_b = r2_b - al * v2_b if rhi else r2_b

@@ -48,6 +48,11 @@ class SquarePlanner:
         self.row_partitioned_matrices: List[
             Tuple[RowPartitionedMatrix, int, int]
         ] = []
+        # RCM reordered-basis state (parallel/reorder.py): set when an
+        # explicit matrix is upgraded to a reordered operator; solvers enter
+        # the basis for the duration of solve() and leave it after
+        self.basis_perm = None
+        self._in_solver_basis = False
 
     # -- registration (reference: SquarePlanner.hpp:99-188) ----------------
     def _register_canonical(self, idx: int, v: PartitionedVector) -> None:
@@ -165,6 +170,36 @@ class SquarePlanner:
                 dist = DiaOperator(
                     matrix, partition=rp, mesh=self.mesh, options=self.options
                 )
+        if (
+            dist is None
+            and prefer_dia
+            and not bool(int(os.environ.get("LEGIONSOLVERS_NO_RCM", "0")))
+            and matrix.n_domain == matrix.n_range
+            and dp == rp
+            and dp.num_pieces == 1
+            and self.canonical_grid_shapes[domain_index] is None
+            # basis consistency: a fresh RCM basis may only be established
+            # before any other operator exists; afterwards every matrix must
+            # be expressed in the SAME basis (or fall back to ELL)
+            and (
+                self.basis_perm is not None
+                or not self.row_partitioned_matrices
+            )
+        ):
+            from .parallel.reorder import try_reordered_operator
+
+            shared_perm = (
+                self.basis_perm["perm_np"] if self.basis_perm else None
+            )
+            dist = try_reordered_operator(
+                matrix, rp, self.options, perm=shared_perm
+            )
+            if dist is not None and self.basis_perm is None:
+                self.basis_perm = {
+                    "perm_np": dist.perm_np,
+                    "perm_dev": dist.perm_dev,
+                    "iperm_dev": dist.iperm_dev,
+                }
         if dist is None:
             dist = RowPartitionedMatrix(
                 matrix,
@@ -224,9 +259,19 @@ class SquarePlanner:
             d.xpay(*alpha, s)
 
     def dot(self, v_idx: int, w_idx: int) -> Scalar:
-        """Sum of per-space dots (reference: SquarePlanner.hpp:331-338)."""
+        """Sum of per-space dots (reference: SquarePlanner.hpp:331-338).
+        Under ``options.compensated_dots`` each dot carries two-float
+        accumulation (ops/ddsum.py) — the TPU-native f64 stand-in."""
+        if self.options.compensated_dots:
+            from .ops.ddsum import dd_dot
+
+            d = lambda a, b: jnp.asarray(
+                dd_dot(a.reshape(-1), b.reshape(-1)), self.options.entry_dtype
+            )
+        else:
+            d = blas1.dot
         parts = [
-            blas1.dot(v.data, w.data)
+            d(v.data, w.data)
             for v, w in zip(self._vectors(v_idx), self._vectors(w_idx))
         ]
         total = parts[0]
@@ -288,6 +333,37 @@ class SquarePlanner:
             part = jnp.asarray(part, dtype=self.options.entry_dtype)
             total = part if total is None else total + part
         return Scalar(total)
+
+    # -- reordered-basis solves (parallel/reorder.py) ----------------------
+    def to_solver_basis(self) -> None:
+        """Enter the RCM basis: permute every materialized vector once and
+        flip the reordered operators to their zero-overhead path.  No-op
+        when no matrix was reorder-upgraded.  Krylov recurrences are
+        invariant under the orthogonal similarity, so residual histories
+        and solutions (after :meth:`from_solver_basis`) are unchanged."""
+        if self.basis_perm is None or self._in_solver_basis:
+            return
+        self._permute_vectors(self.basis_perm["perm_dev"])
+        self._in_solver_basis = True
+        self._set_ops_in_basis(True)
+
+    def from_solver_basis(self) -> None:
+        if self.basis_perm is None or not self._in_solver_basis:
+            return
+        self._permute_vectors(self.basis_perm["iperm_dev"])
+        self._in_solver_basis = False
+        self._set_ops_in_basis(False)
+
+    def _permute_vectors(self, idx) -> None:
+        for vset in [self.sol_vectors, self.rhs_vectors, *self.workspace_vectors]:
+            for v in vset:
+                if v._data is not None:
+                    v.data = jnp.take(v.data, idx)
+
+    def _set_ops_in_basis(self, flag: bool) -> None:
+        for op, _, _ in self.row_partitioned_matrices:
+            if hasattr(op, "in_basis"):
+                op.in_basis = flag
 
     # -- functional state for scan-based solver loops ----------------------
     def dump_state(self) -> Dict:

@@ -114,6 +114,13 @@ class BiCGStabSolver:
         three-pass Pallas schedule (15 vector passes/iteration vs 24 for
         the XLA-fused transcription); the U workspace vector is then left
         untouched (s and t = A s never materialize in HBM)."""
+        self.planner.to_solver_basis()
+        try:
+            return self._solve_in_basis(num_iterations, use_jit)
+        finally:
+            self.planner.from_solver_basis()
+
+    def _solve_in_basis(self, num_iterations, use_jit):
         planner = self.planner
         if use_jit and num_iterations >= 1:
             fkey = (num_iterations, "fused",

@@ -106,6 +106,16 @@ class CGSolver:
         vector is then left untouched rather than holding the last A p.
         """
         planner = self.planner
+        # reordered-basis systems solve in the RCM basis (permute at the
+        # boundaries only; no-op otherwise) — parallel/reorder.py
+        planner.to_solver_basis()
+        try:
+            return self._solve_in_basis(num_iterations, use_jit)
+        finally:
+            planner.from_solver_basis()
+
+    def _solve_in_basis(self, num_iterations, use_jit):
+        planner = self.planner
         if use_jit and num_iterations >= 1:
             fkey = (num_iterations, "fused",
                     getattr(self, "donate_workspace", False))
@@ -118,18 +128,29 @@ class CGSolver:
                 x = planner.get_vector(self.SOL, 0)
                 r = planner.get_vector(self.R, 0)
                 p = planner.get_vector(self.P, 0)
+                consume = getattr(self, "consume_rhs", False)
                 if getattr(self, "donate_workspace", False):
                     # planner.copy shares buffers (P/R alias the RHS array
                     # after reset()); donated inputs must be distinct live
                     # buffers, and the RHS must survive — materialize
-                    # copies where needed (one extra pass per solve)
-                    _unshare_for_donation(
-                        (x, r, p), planner.get_vector(self.RHS, 0)
+                    # copies where needed (one extra pass per solve).
+                    # consume_rhs mode (the 3-live-vector max-size path,
+                    # matching the reference's 2^30 1-node sizes,
+                    # bench_all_ls.py:366-379) donates the RHS buffer
+                    # THROUGH r instead: r = b needs no copy, and b is
+                    # invalidated after the solve.
+                    protected = (
+                        () if consume
+                        else (planner.get_vector(self.RHS, 0),)
                     )
+                    _unshare_for_donation((x, r, p), *protected)
                 rr0 = self.residual_norm_squared[-1].value
                 x.data, r.data, p.data, history = frun(
                     x.data, r.data, p.data, rr0
                 )
+                if consume and getattr(self, "donate_workspace", False):
+                    for i in range(planner.num_spaces):
+                        planner.get_vector(self.RHS, i)._data = None
                 self.residual_norm_squared = ScalarHistory(history)
                 return history
 

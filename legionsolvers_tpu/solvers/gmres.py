@@ -209,6 +209,13 @@ class GMRESSolver:
         normalized on the fast path, while the MGS transcription leaves it
         unnormalized (reference: GMRESSolver.hpp:92-107 never rescales the
         final vector)."""
+        self.planner.to_solver_basis()
+        try:
+            return self._solve_in_basis(num_cycles, use_jit)
+        finally:
+            self.planner.from_solver_basis()
+
+    def _solve_in_basis(self, num_cycles, use_jit):
         planner = self.planner
         if use_jit and num_cycles >= 1:
             fkey = (num_cycles, "fused")

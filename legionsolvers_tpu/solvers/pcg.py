@@ -102,6 +102,13 @@ class PCGSolver:
         planner.xpay(self.P, rz_new, rz_old, self.Z)
 
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
+        self.planner.to_solver_basis()
+        try:
+            return self._solve_in_basis(num_iterations, use_jit)
+        finally:
+            self.planner.from_solver_basis()
+
+    def _solve_in_basis(self, num_iterations, use_jit):
         planner = self.planner
 
         def body(i, carry):

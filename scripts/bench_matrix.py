@@ -88,23 +88,29 @@ def discover_max_size(bw):
     Each attempt runs in its own subprocess: an OOM must not poison the
     sweep (round-3 finding: it killed every later dim's ladder)."""
 
-    # start sizes chosen ~1/4 of the expected ceiling; shapes double by dim
+    # start sizes chosen ~1/4 of the expected ceiling; shapes double by dim.
+    # --consume-rhs = the 3-live-vector CG mode (b donated through r,
+    # re-filled between runs): 3 x 4 GB at 2^30 fits the 16 GB HBM,
+    # matching the reference's 1-node 1-D/2-D max (bench_all_ls.py:366-379)
+    # on 1/4 the memory.
     ladders = {
-        1: [["-nx", str(1 << k)] for k in range(27, 32)],
-        2: [["-nx", str(1 << k), "-ny", str(1 << k)]
-            for k in [13, 14]] + [["-nx", "32768", "-ny", "16384"]],
-        3: [["-nx", "512", "-ny", "512", "-nz", "512"],
-            ["-nx", "1024", "-ny", "512", "-nz", "512"],
-            ["-nx", "1024", "-ny", "1024", "-nz", "512"]],
-        4: [["-nx", "512", "-ny", "512", "-nz", "512"],
-            ["-nx", "1024", "-ny", "512", "-nz", "512"],
-            ["-nx", "1024", "-ny", "1024", "-nz", "512"]],
+        1: [["-nx", str(1 << k)] for k in range(28, 32)],
+        2: [["-nx", "16384", "-ny", "16384"],
+            ["-nx", "32768", "-ny", "16384"],
+            ["-nx", "32768", "-ny", "32768"]],
+        3: [["-nx", "1024", "-ny", "512", "-nz", "512"],
+            ["-nx", "1024", "-ny", "1024", "-nz", "512"],
+            ["-nx", "1024", "-ny", "1024", "-nz", "1024"]],
+        4: [["-nx", "1024", "-ny", "512", "-nz", "512"],
+            ["-nx", "1024", "-ny", "1024", "-nz", "512"],
+            ["-nx", "1024", "-ny", "1024", "-nz", "1024"]],
     }
     results = {}
     for dim, ladder in ladders.items():
         best = None
         for shape_args in ladder:
-            argv = ["-dim", str(dim), "-solver", "1", "-it", "20"] + shape_args
+            argv = ["-dim", str(dim), "-solver", "1", "-it", "20",
+                    "--consume-rhs"] + shape_args
             try:
                 r, err = run_config(argv, timeout=2400)
             except Exception as e:

@@ -151,11 +151,12 @@ def main():
     all_ok = True
     for solver in ("cg", "bicgstab"):
         compiled = build_compiled(solver)
-        # CG: every exchange must fly under a pass.  BiCGStab: the input
-        # halo exchange must (it does, under the pv pass); the mid-
-        # iteration v-edge exchange is ~64 KB and latency-trivial — its
-        # placement is reported but not asserted.
-        req = "all" if solver == "cg" else "first"
+        # Round 4: BiCGStab's mid-iteration v-edge exchange is GONE (the
+        # fixup halos all derive from the single depth-2 input exchange,
+        # stencil_op.py make_fused_bicgstab_runner), so BOTH solvers now
+        # assert full overlap: every permute start/done pair must straddle
+        # a Pallas custom-call in the iteration body.
+        req = "all"
         ok, report, violations = check_schedule(compiled.as_text(), req)
         all_ok = all_ok and ok
         sections.append(

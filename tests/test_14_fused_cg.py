@@ -120,3 +120,20 @@ def test_fused_not_used_for_multi_space(mesh4):
     assert solver._make_fused_runner(4) is None
     hist = np.asarray(solver.solve(4))
     assert hist.shape == (5,) and hist[0] == 2 * 64 * 128
+
+
+def test_consume_rhs_matches_plain():
+    """The 3-live-vector max-size mode (b donated through r, re-filled
+    between runs — the reference-2^30-parity path, bench_all_ls.py:366-379)
+    must reproduce the plain donate path's trajectory exactly and leave the
+    planner consistent across repeated runs."""
+    import numpy as np
+
+    import legionsolvers_tpu.benchmark as B
+
+    r1 = B.main(["-dim", "2", "-solver", "1", "-nx", "64", "-ny", "128",
+                 "-it", "8"])
+    r2 = B.main(["-dim", "2", "-solver", "1", "-nx", "64", "-ny", "128",
+                 "-it", "8", "--consume-rhs"])
+    assert np.isclose(r1["final_residual2"], r2["final_residual2"],
+                      rtol=1e-6)

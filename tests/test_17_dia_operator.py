@@ -277,4 +277,16 @@ def test_dia_gate_is_density_aware():
     planner2 = build(B)
     n = n_prev
     op2 = planner2.row_partitioned_matrices[0][0]
-    assert isinstance(op2, RowPartitionedMatrix), type(op2)
+    # the density gate must NOT hand this to the direct DIA kernel; since
+    # round 4 the planner routes such matrices through the RCM reorder
+    # upgrade (parallel/reorder.py) when it helps, with the halo-ELL
+    # RowPartitionedMatrix as the final fallback
+    from legionsolvers_tpu.parallel.reorder import ReorderedOperator
+
+    assert isinstance(op2, (RowPartitionedMatrix, ReorderedOperator)), type(op2)
+    # and whichever path was taken must be correct
+    x2 = rng.standard_normal(m)
+    y2 = np.asarray(op2.matvec(jnp.asarray(np.concatenate(
+        [x2, np.zeros(planner2.canonical_partitions[0].padded_size - m)]
+    ))))[:m]
+    np.testing.assert_allclose(y2, B.to_dense() @ x2, rtol=1e-11, atol=1e-11)

@@ -47,7 +47,9 @@ def test_overlap_schedule_straddles_kernel():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from scripts.dump_overlap_hlo import build_compiled, check_schedule
 
-    for solver, req in (("cg", "all"), ("bicgstab", "first")):
+    # round 4: BiCGStab runs single-exchange (derived v-edge halos), so
+    # both solvers assert FULL overlap
+    for solver, req in (("cg", "all"), ("bicgstab", "all")):
         ok, report, violations = check_schedule(
             build_compiled(solver).as_text(), req)
         assert ok, (f"{solver}: overlap violations in compiled schedule: "
@@ -65,3 +67,8 @@ def test_committed_overlap_artifact_is_clean():
         txt = f.read()
     assert "ok=True" in txt and "ok=False" not in txt
     assert "collective-permute-start" in txt and "kernel" in txt
+    # round 4: the artifact must be from require=all runs for BOTH solvers
+    # (the single-exchange BiCGStab leaves no unasserted exchange) with no
+    # surviving non-overlapped pairs
+    assert "require=first" not in txt
+    assert txt.count("non_overlapped=[]") >= 2, txt

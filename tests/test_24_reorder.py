@@ -1,0 +1,249 @@
+"""Reordered-basis solves (RCM) + windowed-ELL operator.
+
+The round-3 verdict's top gap: explicit matrices that fail the DIA gate fell
+to an XLA-gather ELL ~480x slower than the banded path, where the
+reference's cuSPARSE SpMV has no cliff (reference: CSRMatrixTasks.cu:14-156).
+The TPU answer is build-time RCM + solving in the permuted basis
+(parallel/reorder.py) with the windowed-gather kernel for scattered-in-band
+sparsity (parallel/winell_op.py).  These tests pin:
+
+* windowed-ELL matvec/rmatvec against a scipy oracle (interpret mode);
+* Krylov invariance: the reordered solve's residual history and solution
+  match the unpermuted solve;
+* eager step() outside the basis stays correct (per-call permutation);
+* the env kill switch routes back to the ELL fallback.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from legionsolvers_tpu import (
+    BlockPartition,
+    CGSolver,
+    PartitionedVector,
+    SolverOptions,
+    SquarePlanner,
+)
+from legionsolvers_tpu.core.matrix import COOMatrix
+from legionsolvers_tpu.parallel.reorder import (
+    ReorderedOperator,
+    try_reordered_operator,
+)
+from legionsolvers_tpu.parallel.winell_op import WinEllOperator, plan_winell
+
+
+def _random_banded(n, bw, avg, seed, scale=1.0):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, n * avg)
+    cols = rows + rng.integers(-bw, bw + 1, n * avg)
+    keep = (cols >= 0) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(-1.0, 1.0, len(rows)) * scale
+    return rows, cols, vals
+
+
+def _spd_banded_coo(n, bw, avg, seed, options):
+    """SPD: A = B + B^T + diag(shift) with shift > ||B + B^T||_inf."""
+    rows, cols, vals = _random_banded(n, bw, avg, seed)
+    r = np.concatenate([rows, cols, np.arange(n)])
+    c = np.concatenate([cols, rows, np.arange(n)])
+    v = np.concatenate([vals, vals, np.full(n, 4.0 * avg)])
+    return COOMatrix(r, c, v, n, n, options=options)
+
+
+@pytest.fixture
+def f64():
+    return SolverOptions(entry_dtype=jnp.float64)
+
+
+def test_winell_matvec_oracle(f64):
+    n = 5000
+    rows, cols, vals = _random_banded(n, 700, 7, seed=3)
+
+    class M:
+        pass
+
+    m = M()
+    m.rows, m.cols, m.vals = rows, cols, vals
+    m.n_domain = m.n_range = n
+    m.n_kernel = len(rows)
+    part = BlockPartition(n, 1)
+    op = WinEllOperator(m, part, f64)
+    x = np.random.default_rng(0).standard_normal(part.padded_size)
+    x[n:] = 0
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y[:n], A @ x[:n], rtol=1e-12, atol=1e-12)
+    z = np.asarray(op.rmatvec(jnp.asarray(x)))
+    np.testing.assert_allclose(z[:n], A.T @ x[:n], rtol=1e-12, atol=1e-12)
+
+
+def test_winell_duplicates_summed(f64):
+    # COO semantics: repeated (row, col) accumulate
+    n = 2048
+    rows = np.array([5, 5, 5, 100, 100])
+    cols = np.array([7, 7, 9, 99, 99])
+    vals = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+
+    class M:
+        pass
+
+    m = M()
+    m.rows, m.cols, m.vals = rows, cols, vals
+    m.n_domain = m.n_range = n
+    m.n_kernel = 5
+    op = WinEllOperator(m, BlockPartition(n, 1), f64)
+    x = np.zeros(op.partition.padded_size)
+    x[7], x[9], x[99] = 1.0, 1.0, 1.0
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    assert y[5] == pytest.approx(7.0)
+    assert y[100] == pytest.approx(24.0)
+
+
+def _solve_system(matrix, n, options, iters=15, no_upgrade=False):
+    part = BlockPartition(n, 1)
+    pl = SquarePlanner(mesh=None, options=options)
+    pl.add_sol_vector(
+        PartitionedVector("s", part, options=options).zero_fill()
+    )
+    pl.add_rhs_vector(
+        PartitionedVector("b", part, options=options).constant_fill(1.0)
+    )
+    if no_upgrade:
+        os.environ["LEGIONSOLVERS_NO_RCM"] = "1"
+        os.environ["LEGIONSOLVERS_NO_DIA"] = "1"
+        try:
+            pl.add_row_partitioned_matrix(matrix, 0, 0)
+        finally:
+            del os.environ["LEGIONSOLVERS_NO_RCM"]
+            del os.environ["LEGIONSOLVERS_NO_DIA"]
+    else:
+        pl.add_row_partitioned_matrix(matrix, 0, 0)
+    solver = CGSolver(pl)
+    hist = np.asarray(solver.solve(iters))
+    x = np.asarray(pl.get_vector(0, 0).data)[:n]
+    return pl, hist, x
+
+
+def test_reordered_cg_matches_plain(f64):
+    """Scattered-banded SPD system: the reorder gate must fire (windowed
+    ELL), and history + solution must match the un-upgraded ELL solve."""
+    n = 4096
+    A = _spd_banded_coo(n, bw=160, avg=4, seed=7, options=f64)
+    pl, hist, x = _solve_system(A, n, f64)
+    op = pl.row_partitioned_matrices[0][0]
+    assert isinstance(op, ReorderedOperator), type(op)
+    assert isinstance(op.base, WinEllOperator), type(op.base)
+    assert pl.basis_perm is not None
+    pl2, hist2, x2 = _solve_system(A, n, f64, no_upgrade=True)
+    np.testing.assert_allclose(hist, hist2, rtol=1e-9)
+    np.testing.assert_allclose(x, x2, rtol=1e-8, atol=1e-12)
+    # after solve() the planner is back in the ORIGINAL basis
+    assert not pl._in_solver_basis
+    b = np.asarray(pl.get_vector(1, 0).data)[:n]
+    np.testing.assert_allclose(b, 1.0)
+
+
+def test_reordered_permuted_laplacian_dia(f64):
+    """A randomly permuted 1-D Laplacian: RCM recovers a banded order, the
+    permuted matrix passes the DIA gate, and the CG trajectory matches the
+    unpermuted golden system's."""
+    from legionsolvers_tpu import coo_negative_laplacian_1d
+    from legionsolvers_tpu.parallel.dia_op import DiaOperator
+
+    n = 2048
+    L = coo_negative_laplacian_1d(n, options=f64)
+    rng = np.random.default_rng(11)
+    pr = rng.permutation(n)
+    P = COOMatrix(
+        pr[np.asarray(L.rows)], pr[np.asarray(L.cols)], np.asarray(L.vals),
+        n, n, options=f64,
+    )
+    pl, hist, x = _solve_system(P, n, f64)
+    op = pl.row_partitioned_matrices[0][0]
+    assert isinstance(op, ReorderedOperator)
+    assert isinstance(op.base, DiaOperator)
+    plu, histu, xu = _solve_system(L, n, f64)
+    np.testing.assert_allclose(hist, histu, rtol=1e-9)
+    # x solves the PERMUTED system: unknown pr[i] of it equals unknown i of
+    # the original system
+    xu_perm = np.empty(n)
+    xu_perm[pr] = xu
+    np.testing.assert_allclose(x, xu_perm, rtol=1e-8, atol=1e-12)
+
+
+def test_reordered_eager_step_out_of_basis(f64):
+    """step() outside solve() (eager, original basis) must agree with the
+    wrapped matvec semantics: one eager step == first solve step."""
+    n = 4096
+    A = _spd_banded_coo(n, bw=160, avg=4, seed=13, options=f64)
+    part = BlockPartition(n, 1)
+
+    def build():
+        pl = SquarePlanner(mesh=None, options=f64)
+        pl.add_sol_vector(
+            PartitionedVector("s", part, options=f64).zero_fill()
+        )
+        pl.add_rhs_vector(
+            PartitionedVector("b", part, options=f64).constant_fill(1.0)
+        )
+        pl.add_row_partitioned_matrix(A, 0, 0)
+        return pl
+
+    pl_eager = build()
+    assert isinstance(pl_eager.row_partitioned_matrices[0][0],
+                      ReorderedOperator)
+    s_eager = CGSolver(pl_eager)
+    s_eager.step()
+    rr_eager = float(s_eager.residual_norm_squared[-1].value)
+
+    pl_jit = build()
+    hist = np.asarray(CGSolver(pl_jit).solve(1))
+    assert rr_eager == pytest.approx(float(hist[1]), rel=1e-10)
+
+
+def test_rcm_kill_switch(f64):
+    from legionsolvers_tpu.parallel.distmatrix import RowPartitionedMatrix
+
+    n = 4096
+    A = _spd_banded_coo(n, bw=160, avg=4, seed=17, options=f64)
+    part = BlockPartition(n, 1)
+    pl = SquarePlanner(mesh=None, options=f64)
+    pl.add_sol_vector(PartitionedVector("s", part, options=f64).zero_fill())
+    pl.add_rhs_vector(
+        PartitionedVector("b", part, options=f64).constant_fill(1.0)
+    )
+    os.environ["LEGIONSOLVERS_NO_RCM"] = "1"
+    try:
+        pl.add_row_partitioned_matrix(A, 0, 0)
+    finally:
+        del os.environ["LEGIONSOLVERS_NO_RCM"]
+    assert isinstance(pl.row_partitioned_matrices[0][0], RowPartitionedMatrix)
+
+
+def test_rcm_permutation_reduces_bandwidth():
+    from legionsolvers_tpu.native.bindings import rcm_permutation
+
+    nx = 64
+    n = nx * nx
+    # 2-D 5-pt pattern, scrambled
+    Y, X = np.meshgrid(np.arange(nx), np.arange(nx), indexing="ij")
+    rows_l, cols_l = [], []
+    for dy, dx in [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]:
+        m = (Y + dy >= 0) & (Y + dy < nx) & (X + dx >= 0) & (X + dx < nx)
+        rows_l.append(Y[m] * nx + X[m])
+        cols_l.append((Y[m] + dy) * nx + (X[m] + dx))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    pr = np.random.default_rng(0).permutation(n)
+    prows, pcols = pr[rows], pr[cols]
+    perm = rcm_permutation(n, prows, pcols)
+    assert sorted(perm) == list(range(n))
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+    bw = np.abs(iperm[prows] - iperm[pcols]).max()
+    assert bw <= 2 * nx  # grid RCM bandwidth ~ nx
