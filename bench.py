@@ -78,33 +78,40 @@ def main() -> None:
     ms_per_iter = sec_per_iter * 1e3
     nnz_per_s = nnz / sec_per_iter
     stream_ms = bytes_per_iter / bw * 1e3
-    # The s-step schedule is VPU-compute-bound, not HBM-bound (committed
-    # profile: PROFILE_r03.md — step2 streams at 438 GB/s vs 652 GB/s for a
-    # same-traffic triad), so the binding speed-of-light is
-    # max(stream, compute); the compute side is an analytic op count
-    # (utils/roofline.sstep_vpu_op_counts) calibrated by the independent
-    # VPU probe (scripts/probe_vpu.py -> VPU_RATES.json).
+    # Binding roofline = max(stream, compute), with the compute side
+    # MEASURED with the real kernel (round-4 upgrade, PROFILE_r04.md §1:
+    # the step2 pass runs VMEM-resident at R=256 — 21.5 ps/elt, 1.6x the
+    # stream's apparent bandwidth — so its per-element time is the VPU
+    # ceiling; the analytic model round 3 discarded is gone).  On current
+    # measurements compute (0.18 ms/iter scaled) sits BELOW stream
+    # (0.29 ms/iter), so the stream SOL binds and the reported fraction is
+    # honest roofline efficiency: the remaining gap is the kernel's
+    # measured compute/DMA overlap deficit.
     compute_ms = None
     if schedule.startswith("fused2d_x2"):
-        from legionsolvers_tpu.utils import vpu_probe
-        from legionsolvers_tpu.utils.roofline import (
-            sstep_compute_seconds_per_iteration,
+        from legionsolvers_tpu.utils.timing import (
+            measure_step2_compute_ceiling,
         )
 
-        rates = vpu_probe.load_or_measure()
-        if rates is not None:
-            op = planner.row_partitioned_matrices[0][0]
-            v = op._view
-            compute_ms = sstep_compute_seconds_per_iteration(
-                v["offs"], v["vals"], n, rates
-            ) * 1e3
-    if compute_ms is not None and compute_ms >= ms_per_iter:
-        # the op-count model over-estimates the compute bound (the kernel
-        # already beat it) — an invalid estimate is discarded, not used to
-        # flatter the ratio; the stream bound stands
-        print(f"[bench] note: compute model ({compute_ms:.3f} ms) exceeds "
-              "the measurement; discarded as un-tight", file=sys.stderr)
-        compute_ms = None
+        op = planner.row_partitioned_matrices[0][0]
+        v = op._view
+        try:
+            per_elt, apparent = measure_step2_compute_ceiling(
+                v["offs"], v["vals"]
+            )
+            if apparent > 1.5 * bw:
+                compute_ms = per_elt * n / 2 * 1e3  # step2 = 2 iterations
+                print(f"[bench] measured step2 compute ceiling: "
+                      f"{per_elt*1e12:.1f} ps/elt "
+                      f"(resident at {apparent/1e9:.0f} GB/s apparent) -> "
+                      f"{compute_ms:.3f} ms/iter", file=sys.stderr)
+            else:
+                print(f"[bench] note: compute-ceiling probe not VMEM-"
+                      f"resident ({apparent/1e9:.0f} GB/s apparent); "
+                      "stream-only roofline", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] note: ceiling probe failed ({e}); "
+                  "stream-only roofline", file=sys.stderr)
     sol_ms = max(stream_ms, compute_ms or 0.0)
     vs_baseline = sol_ms / ms_per_iter  # fraction of the BINDING roofline
 

@@ -17,6 +17,8 @@ from .parallel.mesh import make_mesh, single_device_mesh, num_shards
 from .parallel.distmatrix import RowPartitionedMatrix
 from .parallel.dia_op import DiaOperator
 from .parallel.stencil_op import StencilOperator
+from .parallel.winell_op import WinEllOperator
+from .parallel.reorder import ReorderedOperator
 from .planner import SquarePlanner
 from .solvers.cg import CGSolver
 from .solvers.bicgstab import BiCGStabSolver

@@ -13,6 +13,7 @@ from .bindings import (
     available,
     build_indptr,
     pack_ell_shard,
+    rcm_permutation,
     shard_halo_columns,
     stencil_fill_coo,
     stencil_size,

@@ -101,7 +101,7 @@ def _accum(ref, i, col, part):
 
 
 def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
-                 interpret):
+                 interpret, compensated=False):
     """Shared driver.  ``arrays``: mode-dependent HBM operands; ``halos``:
     (top, bot) combined planes; ``scalars``: [1, k] f32."""
     r = arrays[0]
@@ -176,16 +176,17 @@ def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
         acc = _apply_planes(planes, offsets, values, Y, Z, dtype)
         body = jax.lax.slice(planes[0], (PADY, PADZ), (PADY + Y, PADZ + Z))
 
+        # compensated: two-float (hi, lo) accumulation of the emitted dots
+        # (ops/ddsum.py) — the f64 stand-in; see bicgstab2d._dot_accum
+        from .bicgstab2d import _dot_accum
+
         if mode == "pv":
             po_ref[0, :, :] = body
             vo_ref[0, :, :] = acc
-            _accum(dot_ref, i, 0,
-                   jnp.sum((rt_ref[0, :, :] * acc).astype(jnp.float32)))
+            _dot_accum(dot_ref, i, 0, 1, rt_ref[0, :, :], acc, compensated)
         elif mode == "st":
-            _accum(dot_ref, i, 0,
-                   jnp.sum((acc * body).astype(jnp.float32)))
-            _accum(dot_ref, i, 1,
-                   jnp.sum((acc * acc).astype(jnp.float32)))
+            _dot_accum(dot_ref, i, 0, 2, acc, body, compensated)
+            _dot_accum(dot_ref, i, 1, 2, acc, acc, compensated)
         else:
             al = sc_ref[0, 0].astype(dtype)
             om = sc_ref[0, 1].astype(dtype)
@@ -193,10 +194,8 @@ def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
                                + om * body)
             rnew = body - om * acc
             ro_ref[0, :, :] = rnew
-            _accum(dot_ref, i, 0,
-                   jnp.sum((rnew * rnew).astype(jnp.float32)))
-            _accum(dot_ref, i, 1,
-                   jnp.sum((rt_ref[0, :, :] * rnew).astype(jnp.float32)))
+            _dot_accum(dot_ref, i, 0, 2, rnew, rnew, compensated)
+            _dot_accum(dot_ref, i, 1, 2, rt_ref[0, :, :], rnew, compensated)
 
     blk = pl.BlockSpec((1, Y, Z), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -209,30 +208,31 @@ def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
     scratch = [pltpu.VMEM((4, YP, ZP), dtype)] * (n_streams + 1) + \
               [pltpu.SemaphoreType.DMA((4,))] * n_streams
     shape3 = jax.ShapeDtypeStruct((X, Y, Z), dtype)
+    nd = 2 if compensated else 1  # dot slots per emitted scalar
     if mode == "pv":
         r_, p_, v_, rt = arrays
         in_specs = [any_, any_, any_, smem, vm, vm, blk]
         operands = [r_, p_, v_, scalars, halos[0], halos[1], rt]
-        out_specs = [blk, blk, sdot(1)]
+        out_specs = [blk, blk, sdot(1 * nd)]
         out_shape = [shape3, shape3,
-                     jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+                     jax.ShapeDtypeStruct((1, 1 * nd), jnp.float32)]
         aliases = {1: 0, 2: 1}
         nbytes = 6 * X * Y * Z * dtype.itemsize
     elif mode == "st":
         r_, v_ = arrays
         in_specs = [any_, any_, smem, vm, vm]
         operands = [r_, v_, scalars, halos[0], halos[1]]
-        out_specs = [sdot(2)]
-        out_shape = [jax.ShapeDtypeStruct((1, 2), jnp.float32)]
+        out_specs = [sdot(2 * nd)]
+        out_shape = [jax.ShapeDtypeStruct((1, 2 * nd), jnp.float32)]
         aliases = {}
         nbytes = 2 * X * Y * Z * dtype.itemsize
     else:
         r_, v_, xv, pv_, rt = arrays
         in_specs = [any_, any_, smem, vm, vm, blk, blk, blk]
         operands = [r_, v_, scalars, halos[0], halos[1], xv, pv_, rt]
-        out_specs = [blk, blk, sdot(2)]
+        out_specs = [blk, blk, sdot(2 * nd)]
         out_shape = [shape3, shape3,
-                     jax.ShapeDtypeStruct((1, 2), jnp.float32)]
+                     jax.ShapeDtypeStruct((1, 2 * nd), jnp.float32)]
         aliases = {5: 0}  # x consumed; r is windowed, not aliased
         nbytes = 7 * X * Y * Z * dtype.itemsize
 
@@ -258,10 +258,11 @@ def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "interpret",
+                              "compensated")
 )
 def bicg3d_pv(r, p, v, rt, beta, omega, pn_top, pn_bot, *,
-              offsets, values, interpret=False):
+              offsets, values, interpret=False, compensated=False):
     """(p_new, v_new = A p_new, <r~, v_new>).  ``pn_top/pn_bot``: combined
     p halo planes (r + beta (p - omega v) of the neighbors); p/v buffers
     consumed."""
@@ -269,32 +270,41 @@ def bicg3d_pv(r, p, v, rt, beta, omega, pn_top, pn_bot, *,
                     jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
     po, vo, dot = _bicg3d_call(
         "pv", (r, p, v, rt), sc, (pn_top, pn_bot),
-        offsets=offsets, values=values, interpret=interpret)
-    return po, vo, dot[0, 0]
+        offsets=offsets, values=values, interpret=interpret,
+        compensated=compensated)
+    return po, vo, (dot[0, 0] + dot[0, 1] if compensated else dot[0, 0])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "interpret",
+                              "compensated")
 )
 def bicg3d_st(r, v, alpha, s_top, s_bot, *, offsets, values,
-              interpret=False):
+              interpret=False, compensated=False):
     """(<t, s>, <t, t>) with s = r - alpha v and t = A s VMEM-only."""
     sc = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     (dot,) = _bicg3d_call(
         "st", (r, v), sc, (s_top, s_bot),
-        offsets=offsets, values=values, interpret=interpret)
+        offsets=offsets, values=values, interpret=interpret,
+        compensated=compensated)
+    if compensated:
+        return dot[0, 0] + dot[0, 2], dot[0, 1] + dot[0, 3]
     return dot[0, 0], dot[0, 1]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "values", "interpret")
+    jax.jit, static_argnames=("offsets", "values", "interpret",
+                              "compensated")
 )
 def bicg3d_update(r, v, x, p, rt, alpha, omega, s_top, s_bot, *,
-                  offsets, values, interpret=False):
+                  offsets, values, interpret=False, compensated=False):
     """(x', r', <r', r'>, <r~, r'>); x buffer consumed."""
     sc = jnp.stack([jnp.asarray(alpha, jnp.float32),
                     jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
     xo, ro, dot = _bicg3d_call(
         "upd", (r, v, x, p, rt), sc, (s_top, s_bot),
-        offsets=offsets, values=values, interpret=interpret)
+        offsets=offsets, values=values, interpret=interpret,
+        compensated=compensated)
+    if compensated:
+        return xo, ro, dot[0, 0] + dot[0, 2], dot[0, 1] + dot[0, 3]
     return xo, ro, dot[0, 0], dot[0, 1]

@@ -33,6 +33,7 @@ zero-padded window columns (|dx| <= 128) or a lane roll plus a column mask.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -436,9 +437,12 @@ def grid2d_cg_xpay_pq(
     PAD = 8
     W = TR + 2 * PAD
     CW = C + 2 * PADC
+    # window buffer depth (see _sstep_call: same env knob drives the
+    # round-4 overlap experiments for both window families)
+    NBUF = int(os.environ.get("LEGIONSOLVERS_STEP2_NBUF", "2"))
 
     def issue_window(j, hbm, win, sems):
-        slot = jnp.asarray(j, jnp.int32) % 2
+        slot = jnp.asarray(j, jnp.int32) % NBUF
         pltpu.make_async_copy(
             hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
             win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
@@ -462,7 +466,7 @@ def grid2d_cg_xpay_pq(
                 ).start()
 
     def wait_window(j, hbm, win, sems):
-        slot = jnp.asarray(j, jnp.int32) % 2
+        slot = jnp.asarray(j, jnp.int32) % NBUF
         pltpu.make_async_copy(
             hbm.at[pl.ds(0, TR), :],
             win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
@@ -491,22 +495,25 @@ def grid2d_cg_xpay_pq(
 
         @pl.when(i == 0)
         def _():
-            issue_window(0, r_hbm, rwin, rsems)
-            issue_window(0, p_hbm, pwin, psems)
+            # fill the prefetch pipeline: tiles 0 .. NBUF-2 (both
+            # bounds static)
+            for j0 in range(min(NBUF - 1, nt)):
+                issue_window(j0, r_hbm, rwin, rsems)
+                issue_window(j0, p_hbm, pwin, psems)
 
-        @pl.when(i + 1 < nt)
+        @pl.when(i + NBUF - 1 < nt)
         def _():
-            issue_window(i + 1, r_hbm, rwin, rsems)
-            issue_window(i + 1, p_hbm, pwin, psems)
+            issue_window(i + NBUF - 1, r_hbm, rwin, rsems)
+            issue_window(i + NBUF - 1, p_hbm, pwin, psems)
 
         wait_window(i, r_hbm, rwin, rsems)
         wait_window(i, p_hbm, pwin, psems)
-        slot = jnp.asarray(i, jnp.int32) % 2
+        slot = jnp.asarray(i, jnp.int32) % NBUF
 
         @pl.when(i == 0)
         def _():
             for wref in (rwin, pwin):
-                for sl in (0, 1):
+                for sl in range(NBUF):
                     wref[sl, :, 0:PADC] = jnp.zeros((W, PADC), dtype)
                     wref[sl, :, PADC + C : CW] = jnp.zeros((W, PADC), dtype)
 
@@ -574,10 +581,10 @@ def grid2d_cg_xpay_pq(
         ],
         input_output_aliases={1: 0},  # p_old buffer becomes p
         scratch_shapes=[
-            pltpu.VMEM((2, W, CW), dtype),
-            pltpu.VMEM((2, W, CW), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((NBUF, W, CW), dtype),
+            pltpu.VMEM((NBUF, W, CW), dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -743,13 +750,33 @@ def _sstep_call(
     W = TR + 2 * PAD
     CW = C + 2 * PADC
 
+    # Round-4 overlap experiment knobs (scripts/probe_binding.py measured
+    # the manual-window DMA path sustaining only ~350 GB/s — the NOP
+    # variant with zero compute still takes 0.80 of step2's 0.88 ms):
+    # NBUF = window buffer depth (2 = classic double buffering);
+    # NSPLIT = body-DMA split count (more outstanding descriptors can
+    # engage more DMA parallelism)
+    NBUF = int(os.environ.get("LEGIONSOLVERS_STEP2_NBUF", "2"))
+    NSPLIT = int(os.environ.get("LEGIONSOLVERS_STEP2_SPLIT", "1"))
+    if TR % (8 * NSPLIT):
+        NSPLIT = 1
+    # AUTOBODY: the window BODY rides the automatic pallas pipeline (which
+    # sustains full stream) and only the two 8-row halo segments use the
+    # manual DMA path (measured at ~350 GB/s for dual windows — the
+    # round-4 nop-mode finding, PROFILE_r04.md §1); the body is then
+    # copied VMEM->VMEM into the window scratch (~2 VPU ops/elt)
+    AUTOBODY = bool(int(os.environ.get("LEGIONSOLVERS_STEP2_AUTOBODY", "0")))
+
     def issue_window(j, hbm, win, sems):
-        slot = jnp.asarray(j, jnp.int32) % 2
-        pltpu.make_async_copy(
-            hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
-            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
-            sems.at[slot, 0],
-        ).start()
+        slot = jnp.asarray(j, jnp.int32) % NBUF
+        TS = TR // NSPLIT
+        if not AUTOBODY:
+            for q in range(NSPLIT):
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(pl.multiple_of(j * TR + q * TS, 8), TS), :],
+                    win.at[slot, pl.ds(PAD + q * TS, TS), pl.ds(PADC, C)],
+                    sems.at[slot, 3 + q],
+                ).start()
 
         @pl.when(j > 0)
         def _():
@@ -768,12 +795,15 @@ def _sstep_call(
             ).start()
 
     def wait_window(j, hbm, win, sems):
-        slot = jnp.asarray(j, jnp.int32) % 2
-        pltpu.make_async_copy(
-            hbm.at[pl.ds(0, TR), :],
-            win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
-            sems.at[slot, 0],
-        ).wait()
+        slot = jnp.asarray(j, jnp.int32) % NBUF
+        TS = TR // NSPLIT
+        if not AUTOBODY:
+            for q in range(NSPLIT):
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(0, TS), :],
+                    win.at[slot, pl.ds(PAD + q * TS, TS), pl.ds(PADC, C)],
+                    sems.at[slot, 3 + q],
+                ).wait()
 
         @pl.when(j > 0)
         def _():
@@ -792,6 +822,11 @@ def _sstep_call(
             ).wait()
 
     def kernel(r_hbm, p_hbm, *rest):
+        rest = list(rest)
+        rb_ref = pb_ref = None
+        if AUTOBODY:
+            rb_ref, pb_ref = rest[0], rest[1]
+            rest = rest[2:]
         if mode == "gram2":
             (gram_ref, rwin, pwin, rsems, psems) = rest
         else:
@@ -801,22 +836,30 @@ def _sstep_call(
 
         @pl.when(i == 0)
         def _():
-            issue_window(0, r_hbm, rwin, rsems)
-            issue_window(0, p_hbm, pwin, psems)
+            # fill the prefetch pipeline: tiles 0 .. NBUF-2 (both
+            # bounds static)
+            for j0 in range(min(NBUF - 1, nt)):
+                issue_window(j0, r_hbm, rwin, rsems)
+                issue_window(j0, p_hbm, pwin, psems)
 
-        @pl.when(i + 1 < nt)
+        @pl.when(i + NBUF - 1 < nt)
         def _():
-            issue_window(i + 1, r_hbm, rwin, rsems)
-            issue_window(i + 1, p_hbm, pwin, psems)
+            issue_window(i + NBUF - 1, r_hbm, rwin, rsems)
+            issue_window(i + NBUF - 1, p_hbm, pwin, psems)
 
         wait_window(i, r_hbm, rwin, rsems)
         wait_window(i, p_hbm, pwin, psems)
-        slot = jnp.asarray(i, jnp.int32) % 2
+        slot = jnp.asarray(i, jnp.int32) % NBUF
+        if AUTOBODY:
+            # body arrives via the automatic pipeline; land it in the
+            # window scratch (VMEM->VMEM, ~2 VPU ops/elt)
+            rwin[slot, PAD : PAD + TR, PADC : PADC + C] = rb_ref[:, :]
+            pwin[slot, PAD : PAD + TR, PADC : PADC + C] = pb_ref[:, :]
 
         @pl.when(i == 0)
         def _():
             for wref in (rwin, pwin):
-                for sl in (0, 1):
+                for sl in range(NBUF):
                     wref[sl, :, 0:PADC] = jnp.zeros((W, PADC), dtype)
                     wref[sl, :, PADC + C : CW] = jnp.zeros((W, PADC), dtype)
 
@@ -913,6 +956,23 @@ def _sstep_call(
             )
             return
 
+        if mode == "nop":
+            # DIAGNOSTIC mode (scripts/probe_binding.py): identical I/O
+            # traffic and DMA structure to step2, trivial VPU body — its
+            # runtime is the DMA machinery's own ceiling, separating
+            # pipeline health from compute/DMA contention
+            rb0 = jax.lax.slice(wr, (PAD, PADC), (PAD + TR, PADC + C))
+            pb0 = jax.lax.slice(wp, (PAD, PADC), (PAD + TR, PADC + C))
+            xo_ref[:, :] = x_ref[:, :] + rb0
+            ro_ref[:, :] = rb0
+            po_ref[:, :] = pb0
+            accum(tuple(
+                jnp.sum((rb0 * pb0).astype(jnp.float32)) if j == 0
+                else jnp.float32(0.0)
+                for j in range(10)
+            ))
+            return
+
         # ---- step2 ----
         # Five stencil applications per two CG iterations, using linearity:
         #   u  = c0 p + c1 r - c2 Ap        (= x'' - x)
@@ -958,10 +1018,14 @@ def _sstep_call(
         pl.BlockSpec(memory_space=pl.ANY),   # p in HBM
     ]
     operands = [r, p]
+    if AUTOBODY:
+        # same arrays again, body-blocked on the automatic pipeline
+        in_specs += [blk(), blk()]
+        operands += [r, p]
     out_shape = []
     out_specs = []
     aliases = {}
-    if mode == "step2":
+    if mode in ("step2", "nop"):
         x, coef = extra
         operands += [x, coef.reshape(1, 6).astype(jnp.float32)]
         in_specs += [blk(), smem1(6)]
@@ -973,8 +1037,14 @@ def _sstep_call(
         out_specs += [blk(), blk(), blk()]
         # x streams body-only blocks: block i is fully read before the
         # aliased output block i is written (r/p are NOT aliased: their
-        # windows read neighbor rows that an in-place write could race)
-        aliases = {2: 0}
+        # windows read neighbor rows that an in-place write could race);
+        # AUTOBODY inserts two operands before x, shifting its index.
+        # NOALIAS (diagnostic): drop the in-place alias to test whether
+        # same-page HBM read/write turnaround costs bandwidth
+        if int(os.environ.get("LEGIONSOLVERS_STEP2_NOALIAS", "0")):
+            aliases = {}
+        else:
+            aliases = {(4 if AUTOBODY else 2): 0}
     out_shape.append(jax.ShapeDtypeStruct((1, 10), jnp.float32))
     out_specs.append(smem1(10))
     bytes_accessed = (2 if mode == "gram2" else 6) * R * C * dtype.itemsize
@@ -987,10 +1057,10 @@ def _sstep_call(
         out_shape=out_shape,
         input_output_aliases=aliases,
         scratch_shapes=[
-            pltpu.VMEM((2, W, CW), dtype),
-            pltpu.VMEM((2, W, CW), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((NBUF, W, CW), dtype),
+            pltpu.VMEM((NBUF, W, CW), dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3 + NSPLIT)),
+            pltpu.SemaphoreType.DMA((NBUF, 3 + NSPLIT)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

