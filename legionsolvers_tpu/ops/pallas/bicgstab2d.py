@@ -75,8 +75,18 @@ def bicgstab_supported(R: int, C: int, offsets, itemsize: int = 4) -> bool:
     return _pick_tile_rows_nwin(R, C, itemsize, 3, 3) > 0
 
 
-def _mk_window_io(TR, C, nt):
-    """(issue, wait) helpers for one double-buffered 3-segment window."""
+def _mk_window_io(TR, C, nt, top_from_vmem: bool = False):
+    """(issue, wait, copy_next_top) helpers for one double-buffered
+    3-segment window.
+
+    ``top_from_vmem``: the TOP (backward-looking) halo comes from the
+    PREVIOUS window slot already in VMEM instead of an HBM DMA.  This is
+    REQUIRED whenever the array is also an aliased kernel output: the
+    top-halo DMA for window j+1 reads tile j's last rows while the tile-j
+    output DMA may still be writing them — a measured nondeterminism on
+    chip (round 4: same-config BiCGStab solves diverged from iteration 3).
+    It also saves the 8-row halo re-read per tile.  Callers must invoke
+    ``copy_next_top(i, win)`` once per step after waiting window i."""
     W = TR + 2 * PAD
 
     def issue(j, hbm, win, sems):
@@ -87,13 +97,14 @@ def _mk_window_io(TR, C, nt):
             sems.at[slot, 0],
         ).start()
 
-        @pl.when(j > 0)
-        def _():
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
-                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
-                sems.at[slot, 1],
-            ).start()
+        if not top_from_vmem:
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 1],
+                ).start()
 
         @pl.when(j < nt - 1)
         def _():
@@ -111,13 +122,14 @@ def _mk_window_io(TR, C, nt):
             sems.at[slot, 0],
         ).wait()
 
-        @pl.when(j > 0)
-        def _():
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(0, PAD), :],
-                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
-                sems.at[slot, 1],
-            ).wait()
+        if not top_from_vmem:
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(0, PAD), :],
+                    win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
+                    sems.at[slot, 1],
+                ).wait()
 
         @pl.when(j < nt - 1)
         def _():
@@ -127,7 +139,21 @@ def _mk_window_io(TR, C, nt):
                 sems.at[slot, 2],
             ).wait()
 
-    return issue, wait
+    def copy_next_top(i, win):
+        """Window i+1's top halo rows = window i's last body rows, copied
+        VMEM->VMEM while window i is valid (call after wait(i))."""
+        if not top_from_vmem:
+            return
+
+        @pl.when(i + 1 < nt)
+        def _():
+            nslot = jnp.asarray(i + 1, jnp.int32) % 2
+            slot = jnp.asarray(i, jnp.int32) % 2
+            win[nslot, 0:PAD, PADC : PADC + C] = (
+                win[slot, TR : PAD + TR, PADC : PADC + C]
+            )
+
+    return issue, wait, copy_next_top
 
 
 def _apply_window(wv, offsets, values, TR, C, dtype):
@@ -230,7 +256,11 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
     ND = 2 if compensated else 1  # dot slots (hi + lo under compensation)
-    issue, wait = _mk_window_io(TR, C, nt)
+    issue, wait, _ = _mk_window_io(TR, C, nt)
+    # p and v are ALIASED OUTPUTS: their top halos must come from VMEM
+    # (the HBM top-halo DMA would race the previous tile's output write —
+    # the round-4 nondeterminism fix)
+    issue_a, wait_a, copy_top = _mk_window_io(TR, C, nt, top_from_vmem=True)
 
     def kernel(r_hbm, p_hbm, v_hbm, rt_ref, sc_ref,
                po_ref, vo_ref, dot_ref, rwin, pwin, vwin,
@@ -239,19 +269,21 @@ def bicg_pv(r, p, v, rt, beta, omega, *, offsets, values,
 
         @pl.when(i == 0)
         def _():
-            for h, w, s in ((r_hbm, rwin, rs), (p_hbm, pwin, ps),
-                            (v_hbm, vwin, vs)):
-                issue(0, h, w, s)
+            issue(0, r_hbm, rwin, rs)
+            issue_a(0, p_hbm, pwin, ps)
+            issue_a(0, v_hbm, vwin, vs)
 
         @pl.when(i + 1 < nt)
         def _():
-            for h, w, s in ((r_hbm, rwin, rs), (p_hbm, pwin, ps),
-                            (v_hbm, vwin, vs)):
-                issue(i + 1, h, w, s)
+            issue(i + 1, r_hbm, rwin, rs)
+            issue_a(i + 1, p_hbm, pwin, ps)
+            issue_a(i + 1, v_hbm, vwin, vs)
 
-        for h, w, s in ((r_hbm, rwin, rs), (p_hbm, pwin, ps),
-                        (v_hbm, vwin, vs)):
-            wait(i, h, w, s)
+        wait(i, r_hbm, rwin, rs)
+        wait_a(i, p_hbm, pwin, ps)
+        wait_a(i, v_hbm, vwin, vs)
+        copy_top(i, pwin)
+        copy_top(i, vwin)
         slot = jnp.asarray(i, jnp.int32) % 2
         _zero_pads(i, (rwin, pwin, vwin), W, CW, C, dtype)
         _zero_last(i, nt, (rwin, pwin, vwin), W, C, dtype, TR)
@@ -326,7 +358,7 @@ def bicg_st(r, v, alpha, *, offsets, values,
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
     ND = 4 if compensated else 2
-    issue, wait = _mk_window_io(TR, C, nt)
+    issue, wait, _ = _mk_window_io(TR, C, nt)
 
     def kernel(r_hbm, v_hbm, sc_ref, dot_ref, rwin, vwin, rs, vs):
         i = pl.program_id(0)
@@ -404,7 +436,7 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
     nt = R // TR
     W, CW = TR + 2 * PAD, C + 2 * PADC
     ND = 4 if compensated else 2
-    issue, wait = _mk_window_io(TR, C, nt)
+    issue, wait, _ = _mk_window_io(TR, C, nt)
 
     def kernel(r_hbm, v_hbm, x_ref, p_ref, rt_ref, sc_ref,
                xo_ref, ro_ref, dot_ref, rwin, vwin, rs, vs):

@@ -441,14 +441,17 @@ def grid2d_cg_xpay_pq(
     # round-4 overlap experiments for both window families)
     NBUF = int(os.environ.get("LEGIONSOLVERS_STEP2_NBUF", "2"))
 
-    def issue_window(j, hbm, win, sems):
+    def issue_window(j, hbm, win, sems, skip_top=False):
+        # skip_top: the array is an ALIASED OUTPUT — its top halo would
+        # race the previous tile's output write (measured nondeterminism,
+        # round 4); it is VMEM-copied from the previous window instead
         slot = jnp.asarray(j, jnp.int32) % NBUF
         pltpu.make_async_copy(
             hbm.at[pl.ds(pl.multiple_of(j * TR, 8), TR), :],
             win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
             sems.at[slot, 0],
         ).start()
-        if rlo > 0:
+        if rlo > 0 and not skip_top:
             @pl.when(j > 0)
             def _():
                 pltpu.make_async_copy(
@@ -465,14 +468,14 @@ def grid2d_cg_xpay_pq(
                     sems.at[slot, 2],
                 ).start()
 
-    def wait_window(j, hbm, win, sems):
+    def wait_window(j, hbm, win, sems, skip_top=False):
         slot = jnp.asarray(j, jnp.int32) % NBUF
         pltpu.make_async_copy(
             hbm.at[pl.ds(0, TR), :],
             win.at[slot, pl.ds(PAD, TR), pl.ds(PADC, C)],
             sems.at[slot, 0],
         ).wait()
-        if rlo > 0:
+        if rlo > 0 and not skip_top:
             @pl.when(j > 0)
             def _():
                 pltpu.make_async_copy(
@@ -489,6 +492,20 @@ def grid2d_cg_xpay_pq(
                     sems.at[slot, 2],
                 ).wait()
 
+    def copy_next_top(i, win):
+        """Window i+1's top halo = window i's last body rows (VMEM copy
+        while window i is valid)."""
+        if rlo <= 0:
+            return
+
+        @pl.when(i + 1 < nt)
+        def _():
+            nslot = jnp.asarray(i + 1, jnp.int32) % NBUF
+            slot = jnp.asarray(i, jnp.int32) % NBUF
+            win[nslot, 0:PAD, PADC : PADC + C] = (
+                win[slot, TR : PAD + TR, PADC : PADC + C]
+            )
+
     def kernel(r_hbm, p_hbm, beta_ref, rt_ref, rb_ref, pt_ref, pb_ref,
                p_out, pq_ref, rwin, pwin, rsems, psems):
         i = pl.program_id(0)
@@ -499,15 +516,16 @@ def grid2d_cg_xpay_pq(
             # bounds static)
             for j0 in range(min(NBUF - 1, nt)):
                 issue_window(j0, r_hbm, rwin, rsems)
-                issue_window(j0, p_hbm, pwin, psems)
+                issue_window(j0, p_hbm, pwin, psems, skip_top=True)
 
         @pl.when(i + NBUF - 1 < nt)
         def _():
             issue_window(i + NBUF - 1, r_hbm, rwin, rsems)
-            issue_window(i + NBUF - 1, p_hbm, pwin, psems)
+            issue_window(i + NBUF - 1, p_hbm, pwin, psems, skip_top=True)
 
         wait_window(i, r_hbm, rwin, rsems)
-        wait_window(i, p_hbm, pwin, psems)
+        wait_window(i, p_hbm, pwin, psems, skip_top=True)
+        copy_next_top(i, pwin)
         slot = jnp.asarray(i, jnp.int32) % NBUF
 
         @pl.when(i == 0)
@@ -778,13 +796,11 @@ def _sstep_call(
                     sems.at[slot, 3 + q],
                 ).start()
 
-        @pl.when(j > 0)
-        def _():
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(pl.multiple_of(j * TR - PAD, 8), PAD), :],
-                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
-                sems.at[slot, 1],
-            ).start()
+        # top (backward) halos are VMEM-copied from the previous window
+        # (copy_next_top): an HBM top-halo DMA would race the previous
+        # tile's ALIASED output write now that step2 aliases r/p in place
+        # (round-4 determinism fix + 2^30 max-size enabler: the loop no
+        # longer double-buffers r/p) — and the copy saves the halo re-read
 
         @pl.when(j < nt - 1)
         def _():
@@ -805,14 +821,6 @@ def _sstep_call(
                     sems.at[slot, 3 + q],
                 ).wait()
 
-        @pl.when(j > 0)
-        def _():
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(0, PAD), :],
-                win.at[slot, pl.ds(0, PAD), pl.ds(PADC, C)],
-                sems.at[slot, 1],
-            ).wait()
-
         @pl.when(j < nt - 1)
         def _():
             pltpu.make_async_copy(
@@ -820,6 +828,18 @@ def _sstep_call(
                 win.at[slot, pl.ds(PAD + TR, PAD), pl.ds(PADC, C)],
                 sems.at[slot, 2],
             ).wait()
+
+    def copy_next_top(i, win):
+        """Window i+1's top halo = window i's last body rows, VMEM-copied
+        while window i is valid."""
+
+        @pl.when(i + 1 < nt)
+        def _():
+            nslot = jnp.asarray(i + 1, jnp.int32) % NBUF
+            slot = jnp.asarray(i, jnp.int32) % NBUF
+            win[nslot, 0:PAD, PADC : PADC + C] = (
+                win[slot, TR : PAD + TR, PADC : PADC + C]
+            )
 
     def kernel(r_hbm, p_hbm, *rest):
         rest = list(rest)
@@ -849,6 +869,8 @@ def _sstep_call(
 
         wait_window(i, r_hbm, rwin, rsems)
         wait_window(i, p_hbm, pwin, psems)
+        copy_next_top(i, rwin)
+        copy_next_top(i, pwin)
         slot = jnp.asarray(i, jnp.int32) % NBUF
         if AUTOBODY:
             # body arrives via the automatic pipeline; land it in the
@@ -1035,16 +1057,23 @@ def _sstep_call(
             jax.ShapeDtypeStruct((R, C), dtype),   # p''
         ]
         out_specs += [blk(), blk(), blk()]
-        # x streams body-only blocks: block i is fully read before the
-        # aliased output block i is written (r/p are NOT aliased: their
-        # windows read neighbor rows that an in-place write could race);
-        # AUTOBODY inserts two operands before x, shifting its index.
-        # NOALIAS (diagnostic): drop the in-place alias to test whether
-        # same-page HBM read/write turnaround costs bandwidth
+        # x streams body-only blocks (block i fully read before the
+        # aliased output i is written).  r and p are ALSO aliased in place
+        # since the round-4 fix: their backward (top) halos come from the
+        # previous VMEM window — never re-read from HBM — and forward
+        # reads complete (semaphore-waited) before the corresponding
+        # output write is enqueued, so in-place writes cannot race any
+        # window read.  This keeps the whole s-step solve at THREE live
+        # vectors (the 2^30-unknowns-per-chip enabler).  AUTOBODY (the
+        # diagnostic body-via-pipeline mode) re-reads r/p as blocked
+        # operands, so it keeps only the x alias.  NOALIAS (diagnostic):
+        # drop all aliasing.
         if int(os.environ.get("LEGIONSOLVERS_STEP2_NOALIAS", "0")):
             aliases = {}
+        elif AUTOBODY:
+            aliases = {4: 0}
         else:
-            aliases = {(4 if AUTOBODY else 2): 0}
+            aliases = {2: 0, 0: 1, 1: 2}
     out_shape.append(jax.ShapeDtypeStruct((1, 10), jnp.float32))
     out_specs.append(smem1(10))
     bytes_accessed = (2 if mode == "gram2" else 6) * R * C * dtype.itemsize

@@ -6,12 +6,16 @@ indices (SOL=0, RHS=1, P=2, R=3, R_TILDE=4, U=5, V=6), same rho/alpha/omega
 recurrences carried as deferred Scalars, two matvecs per step.  ``solve``
 compiles the iteration once and scans it, tracking ||r||^2 per step.
 
-Numerics note (PROFILE_r03.md): rho = <r~, r> is a cancelling sum; in f32
-at very large n it falls below the term-rounding noise floor within a few
-iterations and the trajectory becomes reduction-order chaotic (fused and
-transcription paths split identically from any other ordering change).
-The reference runs f64 throughout; on f32-only hardware prefer CG/GMRES
-for convergence-critical large systems, or the f64 CPU path.
+Numerics note (PROFILE_r04.md §4-5, revising PROFILE_r03): at large n the
+f32 trajectory is sensitive to the REDUCTION ORDER of the carried dots
+(a tile-size change alone splits trajectories by iteration ~6).  With
+``SolverOptions.compensated_dots`` the dots carry two-float accumulation
+(ops/ddsum.py) and the solve is exactly reproducible across reduction
+orders (measured bit-identical over 30 iterations at n=16.7M).  Distinct
+ALGORITHMS (fused vs transcription) still diverge through vector-level
+f32 rounding amplified by the recurrence — inherent to f32 vectors; the
+reference runs f64 end-to-end, so for convergence-critical work at scale
+use compensated dots plus, if needed, the f64 CPU path.
 """
 
 from __future__ import annotations

@@ -185,6 +185,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--maxsize", action="store_true",
                    help="also run max-size discovery")
+    p.add_argument("--maxsize-only", action="store_true",
+                   help="skip the 12-config matrix, run only the ladder")
     p.add_argument("--no-probe", action="store_true")
     p.add_argument("--out", default=None, help="write RESULTS.md here")
     args = p.parse_args()
@@ -199,9 +201,10 @@ def main():
         print(f"[matrix] stream bandwidth {bw/1e9:.0f} GB/s", flush=True)
     _BW[0] = bw
 
-    rows = run_matrix(bw)
-    maxsizes = discover_max_size(bw) if args.maxsize else None
-    if args.out:
+    rows = [] if args.maxsize_only else run_matrix(bw)
+    maxsizes = (discover_max_size(bw)
+                if (args.maxsize or args.maxsize_only) else None)
+    if args.out and rows:
         write_results(rows, maxsizes, bw, args.out)
 
 
