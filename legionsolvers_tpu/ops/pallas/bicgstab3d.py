@@ -80,14 +80,12 @@ def _zero_margins(bufs, Y, Z, dtype):
 
 
 def _apply_planes(planes, offsets, values, Y, Z, dtype):
-    acc = None
-    for (ox, oy, oz), v in zip(offsets, values):
-        sh = jax.lax.slice(
-            planes[ox], (PADY + oy, PADZ + oz), (PADY + oy + Y, PADZ + oz + Z)
-        )
-        term = jnp.asarray(v, dtype) * sh
-        acc = term if acc is None else acc + term
-    return acc
+    # shared with stencil3d: separable-sweep fast path for full
+    # class-uniform 3x3x3 boxes (the 27-pt benchmark stencil), direct
+    # slice-mul-add loop otherwise
+    from .stencil3d import apply_planes
+
+    return apply_planes(planes, offsets, values, Y, Z, dtype)
 
 
 def _accum(ref, i, col, part):
