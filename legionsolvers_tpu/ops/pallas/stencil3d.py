@@ -143,8 +143,13 @@ def apply_planes(planes, offsets, values, Y, Z, dtype):
         acc = term if acc is None else acc + term
     return acc
 
-_VMEM_LIMIT = 64 * 2**20
-_VMEM_BUDGET = 40 * 2**20
+# v5e has 128 MB physical VMEM/core; the 3-D plane kernels get a larger
+# slice than the 2-D family because the reference ladder shapes
+# (1024x1024x512 etc., bench_all_ls.py:370-371) need ~56 MB of planes +
+# streams — round 4 raised this after the 2^29 rungs fell back to the
+# 48 B/u XLA path for want of ~2 MB
+_VMEM_LIMIT = 100 * 2**20
+_VMEM_BUDGET = 72 * 2**20
 
 def _plane_bytes(Y: int, Z: int, itemsize: int) -> int:
     return (Y + 2 * PADY) * (Z + 2 * PADZ) * itemsize
