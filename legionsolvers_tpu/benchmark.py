@@ -130,7 +130,12 @@ def main(argv=None, bw=None):
     # CG additionally donates its x/r/p buffers into the fused runner
     import os as _os
 
-    if args.solver == 1 and not _os.environ.get("LEGIONSOLVERS_NO_DONATE"):
+    if args.solver in (1, 2) and not _os.environ.get(
+        "LEGIONSOLVERS_NO_DONATE"
+    ):
+        # CG and BiCGStab fused runners consume their carried vectors in
+        # place; donation is what holds the max-size rungs at the live-set
+        # minimum (the runners alias every carried vector since round 4)
         solver.donate_workspace = True
     consume = bool(
         args.consume_rhs

@@ -437,6 +437,10 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
     W, CW = TR + 2 * PAD, C + 2 * PADC
     ND = 4 if compensated else 2
     issue, wait, _ = _mk_window_io(TR, C, nt)
+    # r is aliased to the r' output (saves a loop-carried buffer at the
+    # BiCGStab max sizes): its top halo must be VMEM-sourced — the
+    # round-4 determinism rule for aliased windowed operands
+    issue_a, wait_a, copy_top = _mk_window_io(TR, C, nt, top_from_vmem=True)
 
     def kernel(r_hbm, v_hbm, x_ref, p_ref, rt_ref, sc_ref,
                xo_ref, ro_ref, dot_ref, rwin, vwin, rs, vs):
@@ -444,16 +448,17 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
 
         @pl.when(i == 0)
         def _():
-            issue(0, r_hbm, rwin, rs)
+            issue_a(0, r_hbm, rwin, rs)
             issue(0, v_hbm, vwin, vs)
 
         @pl.when(i + 1 < nt)
         def _():
-            issue(i + 1, r_hbm, rwin, rs)
+            issue_a(i + 1, r_hbm, rwin, rs)
             issue(i + 1, v_hbm, vwin, vs)
 
-        wait(i, r_hbm, rwin, rs)
+        wait_a(i, r_hbm, rwin, rs)
         wait(i, v_hbm, vwin, vs)
+        copy_top(i, rwin)
         slot = jnp.asarray(i, jnp.int32) % 2
         _zero_pads(i, (rwin, vwin), W, CW, C, dtype)
         _zero_last(i, nt, (rwin, vwin), W, C, dtype, TR)
@@ -490,7 +495,10 @@ def bicg_update(r, v, x, p, rt, alpha, omega, *, offsets, values,
             jax.ShapeDtypeStruct((R, C), dtype),
             jax.ShapeDtypeStruct((1, ND), jnp.float32),
         ],
-        input_output_aliases={2: 0},  # x consumed; r NOT aliased (windowed)
+        # x consumed via its blk stream; r' aliased onto the windowed r
+        # (its top halo is VMEM-sourced, so the in-place write cannot race
+        # any window read — see _mk_window_io)
+        input_output_aliases={2: 0, 0: 1},
         scratch_shapes=[
             pltpu.VMEM((2, W, CW), dtype),
             pltpu.VMEM((2, W, CW), dtype),
