@@ -696,13 +696,15 @@ def _pick_tile_rows_step2(
 
 def step2_supported(R: int, C: int, offsets, itemsize: int = 4) -> bool:
     """step2/gram2 geometry gate: row bandwidth 1 (four chained stencil
-    applications must stay inside the 8-row window pad), column offsets
-    within one lane-pad block, and the VMEM budget."""
+    applications must stay inside the 8-row window pad) and the VMEM
+    budget.  Column offsets beyond the lane-pad block (flat 1-D
+    decompositions) take the roll+mask path inside applyA; |dx| < C is
+    required so one roll suffices."""
     if C % 128 != 0:
         return False
     if any(abs(dy) > 1 for dy, _ in offsets):
         return False
-    if any(abs(dx) > PADC - 8 for _, dx in offsets):
+    if any(abs(dx) >= C for _, dx in offsets):
         return False
     return _pick_tile_rows_step2(R, C, itemsize) > 0
 
@@ -905,13 +907,29 @@ def _sstep_call(
 
         def applyA(val):
             """One stencil application; rows shrink by 1 each side.  +-1.0
-            coefficients fold into the add/subtract (no multiply)."""
+            coefficients fold into the add/subtract (no multiply).  Terms
+            with |dx| beyond the zero-pad columns (the flat 1-D
+            decomposition's row-wrap terms, decompose_flat_offsets) roll
+            the lanes and mask the wrapped range per term — the same
+            validity algebra as the matvec/BiCGStab kernels, costing a
+            couple of VPU ops per wrapped term (headroom exists: the pass
+            is stream-bound, PROFILE_r04.md §1)."""
             m = val.shape[0]
             acc = None
+            wcids = None
             for (dy, dx), v in zip(offsets, values):
                 sh = jax.lax.slice(val, (1 + dy, 0), (m - 1 + dy, CW))
                 if dx:
                     sh = pltpu.roll(sh, (-dx) % CW, 1)
+                if abs(dx) > PADC - 8:
+                    # wrapped lanes land INSIDE the body; kill them by the
+                    # original-column validity c in [max(0,-dx), C-dx)
+                    if wcids is None:
+                        wcids = jax.lax.broadcasted_iota(
+                            jnp.int32, (m - 2, CW), 1
+                        ) - PADC
+                    valid = (wcids >= -dx) & (wcids < C - dx)
+                    sh = jnp.where(valid, sh, jnp.zeros((), dtype))
                 if acc is None:
                     acc = sh if v == 1.0 else (-sh if v == -1.0
                                                else jnp.asarray(v, dtype) * sh)

@@ -511,6 +511,13 @@ class StencilOperator:
             # the two edge-fixup strips must not overlap
             if v["Br"] < 2 * STRIP:
                 return False
+            # the jnp edge-fixup algebra (sstep_sharded._apply/colshift)
+            # does not model the roll+mask row-wrap terms of flat 1-D
+            # decompositions; those stay single-shard on this schedule
+            from ..ops.pallas.stencil2d import PADC
+
+            if any(abs(dx) > PADC - 8 for _, dx in v["offs"]):
+                return False
         from ..ops.pallas.stencil2d import step2_supported
 
         itemsize = jnp.dtype(self.options.entry_dtype).itemsize
