@@ -20,15 +20,20 @@ Per-shard data layout (all shapes static, identical across shards — SPMD):
   ``(s+d) % S`` and scatter positions for what arrives from ``(s-d) % S``.
 
 ``matvec`` runs under ``jax.shard_map``: gather-send -> ``ppermute`` ->
-scatter into the extended buffer -> dense ELL gather + row reduction.  XLA
-overlaps the independent ppermutes with each other and with the local
-portion of the compute (the analog of Legion overlapping ghost copies with
-leaf tasks).
+scatter into the extended buffer -> local SpMV.  The local SpMV is the
+windowed-gather Pallas kernel (ops/pallas/winell.py) whenever per-shard
+window planning over a banded-ordered extended layout succeeds
+(``_plan_sharded_winell`` — the round-4 fast path, ~130x the XLA gather on
+banded-ish matrices), and the dense XLA ELL gather + row reduction
+otherwise.  XLA overlaps the independent ppermutes with each other and
+with the local portion of the compute (the analog of Legion overlapping
+ghost copies with leaf tasks).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -175,7 +180,113 @@ class RowPartitionedMatrix:
         self._matvec_sharded = None
         self._rmatvec_sharded = None
 
+        # ---- sharded windowed-gather fast path (round 4) ---------------
+        # Per-shard windowed-ELL plans over the EXTENDED buffer (local
+        # block + halo slots): kills the XLA-gather cliff for banded-ish
+        # matrices on multi-chip runs too (the single-chip story is
+        # parallel/winell_op.py).  All shards share one static geometry
+        # (Rt/L/KR maxima) — SPMD.  Fallback: the XLA-gather ELL above.
+        self._win = None
+        if mesh is not None and not bool(
+            int(os.environ.get("LEGIONSOLVERS_NO_WINELL", "0"))
+        ):
+            self._win = self._plan_sharded_winell(ell_cols, ell_vals, dump)
+
     # ------------------------------------------------------------------
+    def _plan_sharded_winell(self, ell_cols, ell_vals, dump):
+        """Per-shard windowed-ELL plans over a BANDED-ORDERED extended
+        layout, or None when any shard is ineligible.
+
+        The gather-ELL ext buffer appends halo slots AFTER the local block,
+        which scatters an edge row's columns across the whole buffer and
+        blows the window spans.  The windowed path therefore uses its own
+        layout — ``[lo-halo (right-aligned to n_lo_max) | local block |
+        hi-halo | dump]`` — where a banded matrix's columns stay contiguous
+        per row.  Per-shard halo counts differ; the SHAPES stay SPMD-static
+        (maxima) and only the scatter positions (``recv_pos2``) and column
+        ids are per-shard data.  Two planning passes force one static
+        kernel geometry (L/KR maxima) across shards."""
+        from .winell_op import plan_winell
+
+        S, B_r, B_d = self._S, self._B_r, self._B_d
+        o = self.options
+        dtype = np.dtype(o.entry_dtype)
+        hg = self.halo.halo_global
+        n_lo = np.array([int((hg[s] < s * B_d).sum()) for s in range(S)])
+        n_hi = np.array([len(hg[s]) - n_lo[s] for s in range(S)])
+        n_lo_u = int(n_lo.max(initial=0))
+        n_hi_u = int(n_hi.max(initial=0))
+        ext2 = n_lo_u + B_d + n_hi_u + 1  # + dump slot
+        pad_n = max(B_r, ext2)
+
+        def remap(s, e):
+            """old ext id -> banded-ordered ext2 id (vectorized)."""
+            e = np.asarray(e, np.int64)
+            out = np.empty_like(e)
+            local = e < B_d
+            out[local] = n_lo_u + e[local]
+            lo = (~local) & (e < B_d + n_lo[s])
+            out[lo] = n_lo_u - n_lo[s] + (e[lo] - B_d)
+            hi = (~local) & (e >= B_d + n_lo[s]) & (e < B_d + len(hg[s]))
+            out[hi] = n_lo_u + B_d + (e[hi] - B_d - n_lo[s])
+            out[e >= B_d + len(hg[s])] = ext2 - 1  # dump
+            return out
+
+        coos, recv2 = [], {}
+        for s in range(S):
+            rows_idx, slot_idx = np.nonzero(ell_cols[s] != dump)
+            coos.append((
+                rows_idx.astype(np.int64),
+                remap(s, ell_cols[s][rows_idx, slot_idx]),
+                ell_vals[s][rows_idx, slot_idx],
+            ))
+        for d in self.halo.offsets:
+            recv2[d] = np.stack([
+                remap(s, self.halo.recv_pos[d][s]) for s in range(S)
+            ]).astype(np.int32)
+
+        def plan_all(kr_min=0, l_min=0):
+            plans = []
+            for lr, lc, lv in coos:
+                p = plan_winell(lr, lc, lv, pad_n, pad_n, dtype,
+                                tile_rows_of_128=8,
+                                window_rows_min=kr_min,
+                                row_length_min=l_min)
+                if p is None:
+                    return None
+                plans.append(p)
+            return plans
+
+        plans = plan_all()
+        if plans is None:
+            return None
+        Lmax = max(p["row_length"] for p in plans)
+        KRmax = max(p["window_rows"] for p in plans)
+        if any(p["row_length"] != Lmax or p["window_rows"] != KRmax
+               for p in plans):
+            plans = plan_all(kr_min=KRmax, l_min=Lmax)
+            if plans is None:
+                return None
+        sh4 = NamedSharding(self.mesh, P(SHARD_AXIS, None, None, None, None))
+        sh3 = NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
+        sh2 = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        return {
+            "N": plans[0]["N"],
+            "KR": KRmax,
+            "ext2": ext2,
+            "n_lo_u": n_lo_u,
+            "wstart": jax.device_put(
+                jnp.asarray(np.stack([p["wstart"] for p in plans])), sh3),
+            "cols": jax.device_put(
+                jnp.asarray(np.stack([p["cols"] for p in plans])), sh4),
+            "vals": jax.device_put(
+                jnp.asarray(np.stack([p["vals"] for p in plans])), sh4),
+            "recv_pos2": {
+                d: jax.device_put(jnp.asarray(recv2[d]), sh2)
+                for d in self.halo.offsets
+            },
+        }
+
     @property
     def num_pieces(self) -> int:
         return self._S
@@ -196,11 +307,19 @@ class RowPartitionedMatrix:
         if self.mesh is None:
             s["g_ell_cols"] = self.g_ell_cols
             s["g_ell_vals"] = self.g_ell_vals
+        if self._win is not None:
+            s["win_wstart"] = self._win["wstart"]
+            s["win_cols"] = self._win["cols"]
+            s["win_vals"] = self._win["vals"]
+            s["win_recv_pos2"] = self._win["recv_pos2"]
         return s
 
     def set_device_state(self, state) -> None:
         for k, v in state.items():
-            setattr(self, k, v)
+            if k.startswith("win_"):
+                self._win[k[len("win_"):]] = v
+            else:
+                setattr(self, k, v)
 
     # ------------------------------------------------------------------
     def _local_matvec(self, x_blk, ell_cols, ell_vals, *sched):
@@ -229,10 +348,64 @@ class RowPartitionedMatrix:
             ext = ext.at[rpos].set(recv)
         return ext
 
+    def _local_matvec_win(self, x_blk, wstart, cols, vals, *sched):
+        """Per-shard windowed-gather SpMV over the banded-ordered extended
+        buffer (the round-4 fast path; ~4*KR VPU ops/nonzero instead of
+        the XLA gather's serialization — see ops/pallas/winell.py).
+        ``sched`` = send_idx per offset, then recv_pos2 per offset."""
+        from ..ops.pallas.winell import winell_spmv
+
+        w = self._win
+        S = self._S
+        x_loc = x_blk.reshape(-1)
+        Np = max(w["N"], w["ext2"])
+        ext = jnp.zeros(Np, dtype=x_loc.dtype)
+        ext = ext.at[w["n_lo_u"] : w["n_lo_u"] + self._B_d].set(x_loc)
+        n_off = len(self.halo.offsets)
+        for k, d in enumerate(self.halo.offsets):
+            sidx = sched[k].reshape(-1)
+            rpos = sched[n_off + k].reshape(-1)
+            send = x_loc[sidx]
+            perm = [(i, (i + d) % S) for i in range(S)]
+            recv = jax.lax.ppermute(send, SHARD_AXIS, perm)
+            ext = ext.at[rpos].set(recv)
+        y = winell_spmv(
+            ext.reshape(-1, 128), wstart[0], cols[0], vals[0],
+            window_rows=w["KR"],
+            interpret=jax.default_backend() == "cpu",
+        ).reshape(-1)
+        return y[: self._B_r]
+
     def _build_matvec(self):
         mesh = self.mesh
         n_off = len(self.halo.offsets)
         specs2 = (P(SHARD_AXIS, None),) * (2 * n_off)
+        if self._win is not None:
+            f = jax.shard_map(
+                self._local_matvec_win,
+                mesh=mesh,
+                in_specs=(
+                    P(SHARD_AXIS),
+                    P(SHARD_AXIS, None, None),
+                    P(SHARD_AXIS, None, None, None, None),
+                    P(SHARD_AXIS, None, None, None, None),
+                )
+                + specs2,
+                out_specs=P(SHARD_AXIS),
+                check_vma=False,
+            )
+
+            def matvec(x):
+                sched = tuple(
+                    self.send_idx[d] for d in self.halo.offsets
+                ) + tuple(
+                    self._win["recv_pos2"][d] for d in self.halo.offsets
+                )
+                y = f(x, self._win["wstart"], self._win["cols"],
+                      self._win["vals"], *sched)
+                return y.reshape(-1)
+
+            return matvec
         f = jax.shard_map(
             self._local_matvec,
             mesh=mesh,

@@ -14,10 +14,11 @@ can be banded at build time (which `parallel/reorder.py` arranges via RCM):
 * device kernel (:func:`~legionsolvers_tpu.ops.pallas.winell.winell_spmv`):
   static chunk sweep of one-vreg gathers (~4*KR VPU ops/nonzero).
 
-Single-piece only: the sharded general path remains the halo-schedule ELL of
-:mod:`~legionsolvers_tpu.parallel.distmatrix` (correct everywhere, fast
-nowhere); extending the windowed kernel across shards needs windows over the
-extended (halo) buffer and is future work.
+This operator is the single-piece form; SHARDED systems get the same
+kernel through :class:`~legionsolvers_tpu.parallel.distmatrix.RowPartitionedMatrix`,
+which plans per-shard windows over a banded-ordered extended (halo) buffer
+(``_plan_sharded_winell``) and falls back to the XLA-gather ELL only when a
+shard's spans exceed the window cap.
 """
 
 from __future__ import annotations
@@ -58,6 +59,8 @@ def plan_winell(
     max_window_rows: int = MAX_WINDOW_ROWS,
     tile_rows_of_128: Optional[int] = None,
     min_fill: float = 1 / 16,
+    window_rows_min: int = 0,
+    row_length_min: int = 0,
 ) -> Optional[dict]:
     """Host-side windowed-ELL packing; returns None when ineligible.
 
@@ -93,6 +96,7 @@ def plan_winell(
     L = int(counts.max(initial=0))
     if L == 0 or L > 128:
         return None
+    L = max(L, row_length_min)  # SPMD: all shards share one static L
     if len(r) < min_fill * N0 * L:
         return None  # ELL padding blowup: a few long rows dominate
     row_start = np.concatenate([[0], np.cumsum(counts)])
@@ -148,6 +152,7 @@ def plan_winell(
         span[occ] = mx[occ] // 128 - ws[occ] + 1
         KR = int(span.max(initial=1))
         KR = -(-KR // 8) * 8
+        KR = max(KR, window_rows_min)  # SPMD: shared static window depth
         if KR > min(max_window_rows, NR - (NR % 8)):
             return None
         ws = np.minimum(ws, NR - KR)

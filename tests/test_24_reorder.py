@@ -247,3 +247,87 @@ def test_rcm_permutation_reduces_bandwidth():
     iperm[perm] = np.arange(n)
     bw = np.abs(iperm[prows] - iperm[pcols]).max()
     assert bw <= 2 * nx  # grid RCM bandwidth ~ nx
+
+
+def test_sharded_winell_matches_gather_ell(mesh4_or_skip=None):
+    """The round-4 sharded windowed-ELL fast path (per-shard plans over the
+    extended halo buffer, RowPartitionedMatrix._plan_sharded_winell) must
+    agree with the XLA-gather ELL fallback on the same system."""
+    import jax
+
+    from legionsolvers_tpu.parallel.mesh import make_mesh
+    from legionsolvers_tpu.parallel.distmatrix import RowPartitionedMatrix
+
+    F = SolverOptions(entry_dtype=jnp.float64)
+    n = 64 * 1024
+    rows, cols, vals = _random_banded(n, bw=300, avg=6, seed=23)
+    A = COOMatrix(rows, cols, vals, n, n, options=F)
+    mesh = make_mesh(4)
+    part = BlockPartition(n, 4)
+
+    rpm = RowPartitionedMatrix(A, part, part, mesh=mesh, options=F)
+    assert rpm._win is not None, "sharded winell plan should be eligible"
+    x = np.random.default_rng(0).standard_normal(part.padded_size)
+    x[n:] = 0
+    xd = jax.device_put(
+        jnp.asarray(x),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shard")),
+    )
+    y_win = np.asarray(rpm.matvec(xd))
+
+    os.environ["LEGIONSOLVERS_NO_WINELL"] = "1"
+    try:
+        rpm2 = RowPartitionedMatrix(A, part, part, mesh=mesh, options=F)
+    finally:
+        del os.environ["LEGIONSOLVERS_NO_WINELL"]
+    assert rpm2._win is None
+    y_ell = np.asarray(rpm2.matvec(xd))
+    np.testing.assert_allclose(y_win[:n], y_ell[:n], rtol=1e-12, atol=1e-12)
+
+    # and against the dense oracle
+    A_sp = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    np.testing.assert_allclose(y_win[:n], A_sp @ x[:n], rtol=1e-11,
+                               atol=1e-11)
+
+
+def test_sharded_winell_cg_solve(f64):
+    """End-to-end sharded CG through the windowed-gather path matches the
+    gather-ELL fallback's trajectory."""
+    import jax
+
+    from legionsolvers_tpu.parallel.mesh import make_mesh
+    from legionsolvers_tpu.parallel.distmatrix import RowPartitionedMatrix
+
+    n = 64 * 1024
+    rows, cols, vals = _random_banded(n, bw=200, avg=3, seed=29)
+    r = np.concatenate([rows, cols, np.arange(n)])
+    c = np.concatenate([cols, rows, np.arange(n)])
+    v = np.concatenate([vals, vals, np.full(n, 16.0)])
+    A = COOMatrix(r, c, v, n, n, options=f64)
+    mesh = make_mesh(4)
+    part = BlockPartition(n, 4)
+
+    def run(no_win):
+        if no_win:
+            os.environ["LEGIONSOLVERS_NO_WINELL"] = "1"
+        os.environ["LEGIONSOLVERS_NO_DIA"] = "1"
+        os.environ["LEGIONSOLVERS_NO_RCM"] = "1"
+        try:
+            pl_ = SquarePlanner(mesh=mesh, options=f64)
+            pl_.add_sol_vector(PartitionedVector(
+                "s", part, mesh=mesh, options=f64).zero_fill())
+            pl_.add_rhs_vector(PartitionedVector(
+                "b", part, mesh=mesh, options=f64).constant_fill(1.0))
+            pl_.add_row_partitioned_matrix(A, 0, 0)
+        finally:
+            os.environ.pop("LEGIONSOLVERS_NO_WINELL", None)
+            del os.environ["LEGIONSOLVERS_NO_DIA"]
+            del os.environ["LEGIONSOLVERS_NO_RCM"]
+        op = pl_.row_partitioned_matrices[0][0]
+        assert isinstance(op, RowPartitionedMatrix)
+        assert (op._win is None) == no_win
+        return np.asarray(CGSolver(pl_).solve(8))
+
+    h_win = run(False)
+    h_ell = run(True)
+    np.testing.assert_allclose(h_win, h_ell, rtol=1e-9)
