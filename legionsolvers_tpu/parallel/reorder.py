@@ -134,15 +134,19 @@ class ReorderedOperator:
 
 def try_reordered_operator(
     matrix, partition, options, perm: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Optional[ReorderedOperator]:
     """Build the best reordered operator for an explicit matrix that failed
     the direct DIA gate, or None when reordering doesn't help.
 
     Order of preference on the permuted matrix: DIA (banded after RCM —
-    streaming-speed kernel), then windowed ELL (scattered within the band).
+    streaming-speed kernel), then windowed ELL (scattered within the band;
+    single-piece :class:`~.winell_op.WinEllOperator`, or the sharded
+    windowed plans inside
+    :class:`~legionsolvers_tpu.parallel.distmatrix.RowPartitionedMatrix`).
     ``perm`` forces a specific permutation (planner consistency when several
     matrices must share one basis)."""
-    if partition.num_pieces != 1:
+    if partition.num_pieces > 1 and mesh is None:
         return None
     if matrix.n_domain != matrix.n_range:
         return None
@@ -165,8 +169,9 @@ def try_reordered_operator(
         uoffs is not None
         and pm.n_kernel >= MIN_DIA_FILL * len(uoffs) * partition.padded_size
     ):
-        base = DiaOperator(pm, partition=partition, mesh=None, options=options)
-    if base is None:
+        base = DiaOperator(pm, partition=partition, mesh=mesh,
+                           options=options)
+    if base is None and partition.num_pieces == 1:
         from .winell_op import plan_winell, WinEllOperator
 
         plan = plan_winell(
@@ -175,6 +180,17 @@ def try_reordered_operator(
         )
         if plan is not None:
             base = WinEllOperator(pm, partition, options, plan=plan)
+    if base is None and partition.num_pieces > 1:
+        from .distmatrix import RowPartitionedMatrix
+
+        rpm = RowPartitionedMatrix(
+            pm, domain_partition=partition, range_partition=partition,
+            mesh=mesh, options=options,
+        )
+        # only worth the basis machinery if the windowed plan succeeded
+        # (otherwise the un-permuted gather-ELL is the same speed)
+        if rpm._win is not None:
+            base = rpm
     if base is None:
         return None
     return ReorderedOperator(base, perm, iperm, partition, options)

@@ -176,7 +176,7 @@ class SquarePlanner:
             and not bool(int(os.environ.get("LEGIONSOLVERS_NO_RCM", "0")))
             and matrix.n_domain == matrix.n_range
             and dp == rp
-            and dp.num_pieces == 1
+            and (dp.num_pieces == 1 or self.mesh is not None)
             and self.canonical_grid_shapes[domain_index] is None
             # basis consistency: a fresh RCM basis may only be established
             # before any other operator exists; afterwards every matrix must
@@ -192,7 +192,7 @@ class SquarePlanner:
                 self.basis_perm["perm_np"] if self.basis_perm else None
             )
             dist = try_reordered_operator(
-                matrix, rp, self.options, perm=shared_perm
+                matrix, rp, self.options, perm=shared_perm, mesh=self.mesh
             )
             if dist is not None and self.basis_perm is None:
                 self.basis_perm = {
@@ -355,10 +355,19 @@ class SquarePlanner:
         self._set_ops_in_basis(False)
 
     def _permute_vectors(self, idx) -> None:
+        import jax
+
         for vset in [self.sol_vectors, self.rhs_vectors, *self.workspace_vectors]:
             for v in vset:
                 if v._data is not None:
-                    v.data = jnp.take(v.data, idx)
+                    out = jnp.take(v.data, idx)
+                    if v.sharding is not None:
+                        # keep the block sharding through the once-per-solve
+                        # cross-shard gather (an all-to-all on the mesh)
+                        out = jax.lax.with_sharding_constraint(
+                            out, v.sharding
+                        )
+                    v.data = out
 
     def _set_ops_in_basis(self, flag: bool) -> None:
         for op, _, _ in self.row_partitioned_matrices:

@@ -331,3 +331,53 @@ def test_sharded_winell_cg_solve(f64):
     h_win = run(False)
     h_ell = run(True)
     np.testing.assert_allclose(h_win, h_ell, rtol=1e-9)
+
+
+def test_sharded_reordered_solve(f64):
+    """RCM reordering on a MESH: a scrambled banded system re-bands and
+    routes onto the sharded windowed-gather path; the solve matches the
+    un-upgraded gather-ELL solve."""
+    from legionsolvers_tpu.parallel.mesh import make_mesh
+    from legionsolvers_tpu.parallel.distmatrix import RowPartitionedMatrix
+
+    n = 64 * 1024
+    rows, cols, vals = _random_banded(n, bw=200, avg=3, seed=31)
+    r = np.concatenate([rows, cols, np.arange(n)])
+    c = np.concatenate([cols, rows, np.arange(n)])
+    v = np.concatenate([vals, vals, np.full(n, 16.0)])
+    pr = np.random.default_rng(7).permutation(n)
+    A = COOMatrix(pr[r], pr[c], v, n, n, options=f64)  # scrambled
+    mesh = make_mesh(4)
+    part = BlockPartition(n, 4)
+
+    def build(no_upgrade):
+        if no_upgrade:
+            os.environ["LEGIONSOLVERS_NO_RCM"] = "1"
+            os.environ["LEGIONSOLVERS_NO_DIA"] = "1"
+            os.environ["LEGIONSOLVERS_NO_WINELL"] = "1"
+        try:
+            pl_ = SquarePlanner(mesh=mesh, options=f64)
+            pl_.add_sol_vector(PartitionedVector(
+                "s", part, mesh=mesh, options=f64).zero_fill())
+            pl_.add_rhs_vector(PartitionedVector(
+                "b", part, mesh=mesh, options=f64).constant_fill(1.0))
+            pl_.add_row_partitioned_matrix(A, 0, 0)
+        finally:
+            for k in ("LEGIONSOLVERS_NO_RCM", "LEGIONSOLVERS_NO_DIA",
+                      "LEGIONSOLVERS_NO_WINELL"):
+                os.environ.pop(k, None)
+        return pl_
+
+    pl_w = build(False)
+    op = pl_w.row_partitioned_matrices[0][0]
+    assert isinstance(op, ReorderedOperator), type(op)
+    assert isinstance(op.base, RowPartitionedMatrix)
+    assert op.base._win is not None
+    h_w = np.asarray(CGSolver(pl_w).solve(8))
+    x_w = np.asarray(pl_w.get_vector(0, 0).data)[:n]
+
+    pl_e = build(True)
+    h_e = np.asarray(CGSolver(pl_e).solve(8))
+    x_e = np.asarray(pl_e.get_vector(0, 0).data)[:n]
+    np.testing.assert_allclose(h_w, h_e, rtol=1e-9)
+    np.testing.assert_allclose(x_w, x_e, rtol=1e-8, atol=1e-12)
