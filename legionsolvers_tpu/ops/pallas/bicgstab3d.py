@@ -231,7 +231,13 @@ def _bicg3d_call(mode, arrays, scalars, halos, *, offsets, values,
         out_specs = [blk, blk, sdot(2 * nd)]
         out_shape = [shape3, shape3,
                      jax.ShapeDtypeStruct((1, 2 * nd), jnp.float32)]
-        aliases = {5: 0}  # x consumed; r is windowed, not aliased
+        # x consumed via its blk stream.  r' -> r in-place aliasing was
+        # TRIED (round 4; safe by the plane-ordering argument, measured
+        # deterministic) and REVERTED: unlike the 2-D window kernels —
+        # where same-page read-modify-write streams beat separate streams
+        # by ~15% — the plane-streamed layout measured ~5-10% SLOWER with
+        # it (dim3 1.369 -> 1.502, dim4 1.648 -> 1.713 ms/iter)
+        aliases = {5: 0}
         nbytes = 7 * X * Y * Z * dtype.itemsize
 
     return pl.pallas_call(
