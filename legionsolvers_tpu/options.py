@@ -60,8 +60,14 @@ class SolverOptions:
 
     entry_dtype: jnp.dtype = jnp.float32
     index_dtype: jnp.dtype = jnp.int32
-    compensated_dots: bool = bool(
-        int(os.environ.get("LEGIONSOLVERS_COMPENSATED_DOTS", "0"))
+    # default_factory so LEGIONSOLVERS_COMPENSATED_DOTS is read when a
+    # SolverOptions is CONSTRUCTED, like the per-call env knobs
+    # (LEGIONSOLVERS_NO_RCM etc.) — a class-definition-time read silently
+    # ignores the env var when it is set after import (r4 advisor finding)
+    compensated_dots: bool = dataclasses.field(
+        default_factory=lambda: bool(
+            int(os.environ.get("LEGIONSOLVERS_COMPENSATED_DOTS", "0"))
+        )
     )
 
     def __post_init__(self) -> None:

@@ -32,12 +32,21 @@ import numpy as np
 
 
 class _PermutedMatrix:
-    """Host-side view of A under a symmetric permutation: entry (r, c) moves
-    to (iperm[r], iperm[c])."""
+    """Host-side view of A under a permutation of each side: entry (r, c)
+    moves to (iperm_row[r], iperm_col[c]).  ``iperm_col`` defaults to
+    ``iperm_row`` (the symmetric similarity P A P^T); pass ``None`` for an
+    identity on that side (cross-space operators where only one space has a
+    solver basis)."""
 
-    def __init__(self, matrix, iperm: np.ndarray):
-        self.rows = iperm[np.asarray(matrix.rows, np.int64)]
-        self.cols = iperm[np.asarray(matrix.cols, np.int64)]
+    _SAME = object()
+
+    def __init__(self, matrix, iperm_row, iperm_col=_SAME):
+        if iperm_col is _PermutedMatrix._SAME:
+            iperm_col = iperm_row
+        rows = np.asarray(matrix.rows, np.int64)
+        cols = np.asarray(matrix.cols, np.int64)
+        self.rows = rows if iperm_row is None else iperm_row[rows]
+        self.cols = cols if iperm_col is None else iperm_col[cols]
         self.vals = matrix.vals
         self.n_domain = matrix.n_domain
         self.n_range = matrix.n_range
@@ -134,7 +143,7 @@ class ReorderedOperator:
 
 def try_reordered_operator(
     matrix, partition, options, perm: Optional[np.ndarray] = None,
-    mesh=None,
+    mesh=None, force: bool = False,
 ) -> Optional[ReorderedOperator]:
     """Build the best reordered operator for an explicit matrix that failed
     the direct DIA gate, or None when reordering doesn't help.
@@ -145,13 +154,19 @@ def try_reordered_operator(
     windowed plans inside
     :class:`~legionsolvers_tpu.parallel.distmatrix.RowPartitionedMatrix`).
     ``perm`` forces a specific permutation (planner consistency when several
-    matrices must share one basis)."""
-    if partition.num_pieces > 1 and mesh is None:
-        return None
-    if matrix.n_domain != matrix.n_range:
-        return None
+    matrices must share one basis).  ``force=True`` (requires ``perm``)
+    never returns None: a matrix that has no fast kernel in the given basis
+    still comes back as a ReorderedOperator over the generic gather-ELL
+    ``RowPartitionedMatrix`` of the permuted matrix — registering it in the
+    ORIGINAL basis instead would silently corrupt results once the planner
+    permutes the space's vectors (r4 advisor finding)."""
+    if not force:
+        if partition.num_pieces > 1 and mesh is None:
+            return None
+        if matrix.n_domain != matrix.n_range:
+            return None
     n = matrix.n_range
-    if n < 1024:
+    if not force and n < 1024:
         return None  # the XLA fallback is fine at toy sizes
     if perm is None:
         pm, perm, iperm = rcm_reorder(matrix)
@@ -188,9 +203,125 @@ def try_reordered_operator(
             mesh=mesh, options=options,
         )
         # only worth the basis machinery if the windowed plan succeeded
-        # (otherwise the un-permuted gather-ELL is the same speed)
-        if rpm._win is not None:
+        # (otherwise the un-permuted gather-ELL is the same speed) —
+        # unless the basis already exists and the operator MUST adopt it
+        if rpm._win is not None or force:
             base = rpm
+    if base is None and force:
+        from .distmatrix import RowPartitionedMatrix
+
+        base = RowPartitionedMatrix(
+            pm, domain_partition=partition, range_partition=partition,
+            mesh=mesh, options=options,
+        )
     if base is None:
         return None
     return ReorderedOperator(base, perm, iperm, partition, options)
+
+
+class CrossBasisOperator:
+    """Rectangular / cross-space operator expressed in per-space solver
+    bases (identity on any side without a basis).
+
+    Built by the planner when a matrix spanning two spaces arrives after
+    one of them adopted an RCM basis: the round-4 advisor found that
+    silently registering such a matrix in the ORIGINAL basis corrupts
+    results the moment ``to_solver_basis`` permutes the space's vectors.
+    ``base`` is an operator over the two-sided-permuted matrix; outside the
+    basis every call permutes at the edges (debug/eager path only)."""
+
+    supports_matvec_dot = False
+
+    def __init__(self, base, dom_basis, rng_basis, dom_padded, rng_padded):
+        self.base = base
+        self.in_basis = False
+
+        def pad_pair(basis, P):
+            if basis is None:
+                return None, None
+            n = len(basis["perm_np"])
+            tail = np.arange(n, P, dtype=np.int64)
+            idt = np.int32 if P <= np.iinfo(np.int32).max else np.int64
+            return (
+                jnp.asarray(
+                    np.concatenate([basis["perm_np"], tail]).astype(idt)
+                ),
+                jnp.asarray(
+                    np.concatenate([basis["iperm_np"], tail]).astype(idt)
+                ),
+            )
+
+        self.dom_perm_dev, self.dom_iperm_dev = pad_pair(dom_basis, dom_padded)
+        self.rng_perm_dev, self.rng_iperm_dev = pad_pair(rng_basis, rng_padded)
+
+    @property
+    def n_domain(self) -> int:
+        return self.base.n_domain
+
+    @property
+    def n_range(self) -> int:
+        return self.base.n_range
+
+    def nnz(self) -> int:
+        return self.base.nnz()
+
+    @property
+    def uses_pallas(self) -> bool:
+        return getattr(self.base, "uses_pallas", False)
+
+    def device_state(self):
+        base_state = (
+            self.base.device_state()
+            if hasattr(self.base, "device_state")
+            else None
+        )
+        return (base_state, self.dom_perm_dev, self.dom_iperm_dev,
+                self.rng_perm_dev, self.rng_iperm_dev)
+
+    def set_device_state(self, state) -> None:
+        (base_state, self.dom_perm_dev, self.dom_iperm_dev,
+         self.rng_perm_dev, self.rng_iperm_dev) = state
+        if base_state is not None:
+            self.base.set_device_state(base_state)
+
+    @staticmethod
+    def _gather(x, idx):
+        return x if idx is None else jnp.take(x, idx)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_basis:
+            return self.base.matvec(x)
+        py = self.base.matvec(self._gather(x, self.dom_perm_dev))
+        return self._gather(py, self.rng_iperm_dev)
+
+    def matvec_add(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        return y + self.matvec(x)
+
+    def rmatvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_basis:
+            return self.base.rmatvec(x)
+        py = self.base.rmatvec(self._gather(x, self.rng_perm_dev))
+        return self._gather(py, self.dom_iperm_dev)
+
+
+def cross_basis_operator(
+    matrix, dom_partition, rng_partition, dom_basis, rng_basis, mesh, options
+) -> CrossBasisOperator:
+    """Wrap ``matrix`` (spanning two planner spaces) so it computes in the
+    spaces' solver bases; ``dom_basis``/``rng_basis`` are the planner's
+    per-space basis dicts (or None for identity)."""
+    from .distmatrix import RowPartitionedMatrix
+
+    pm = _PermutedMatrix(
+        matrix,
+        rng_basis["iperm_np"] if rng_basis else None,
+        dom_basis["iperm_np"] if dom_basis else None,
+    )
+    base = RowPartitionedMatrix(
+        pm, domain_partition=dom_partition, range_partition=rng_partition,
+        mesh=mesh, options=options,
+    )
+    return CrossBasisOperator(
+        base, dom_basis, rng_basis,
+        dom_partition.padded_size, rng_partition.padded_size,
+    )

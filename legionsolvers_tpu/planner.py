@@ -48,11 +48,19 @@ class SquarePlanner:
         self.row_partitioned_matrices: List[
             Tuple[RowPartitionedMatrix, int, int]
         ] = []
-        # RCM reordered-basis state (parallel/reorder.py): set when an
-        # explicit matrix is upgraded to a reordered operator; solvers enter
-        # the basis for the duration of solve() and leave it after
-        self.basis_perm = None
+        # RCM reordered-basis state (parallel/reorder.py), PER SPACE: set
+        # when a space's first explicit matrix is upgraded to a reordered
+        # operator; solvers enter the basis for the duration of solve() and
+        # leave it after.  Each entry holds perm_np/iperm_np (host) and
+        # perm_dev/iperm_dev (padded device index arrays for that space).
+        self.basis_perms: Dict[int, Dict] = {}
         self._in_solver_basis = False
+
+    @property
+    def basis_perm(self):
+        """Legacy single-basis view (space 0), kept for callers that only
+        probe whether a reordered basis is active."""
+        return self.basis_perms.get(0)
 
     # -- registration (reference: SquarePlanner.hpp:99-188) ----------------
     def _register_canonical(self, idx: int, v: PartitionedVector) -> None:
@@ -136,7 +144,32 @@ class SquarePlanner:
         dp = self.canonical_partitions[domain_index]
         rp = self.canonical_partitions[range_index]
         dist = None
-        if (
+        same_space = domain_index == range_index
+        dom_basis = self.basis_perms.get(domain_index)
+        rng_basis = self.basis_perms.get(range_index)
+        # Basis consistency first (r4 advisor, severity high): once a space
+        # adopted an RCM basis, EVERY later operator touching it must be
+        # expressed in that basis — to_solver_basis permutes the space's
+        # vectors, so an original-basis operator would silently compute
+        # garbage.  Square same-space matrices adopt via the forced reorder
+        # path (best kernel on the permuted matrix, generic ELL fallback);
+        # cross-space matrices get the two-sided CrossBasisOperator.
+        if same_space and rng_basis is not None:
+            from .parallel.reorder import try_reordered_operator
+
+            dist = try_reordered_operator(
+                matrix, rp, self.options, perm=rng_basis["perm_np"],
+                mesh=self.mesh, force=True,
+            )
+        elif not same_space and (
+            dom_basis is not None or rng_basis is not None
+        ):
+            from .parallel.reorder import cross_basis_operator
+
+            dist = cross_basis_operator(
+                matrix, dp, rp, dom_basis, rng_basis, self.mesh, self.options
+            )
+        if dist is None and (
             prefer_dia
             and not bool(int(os.environ.get("LEGIONSOLVERS_NO_DIA", "0")))
             and matrix.n_domain == matrix.n_range
@@ -174,29 +207,32 @@ class SquarePlanner:
             dist is None
             and prefer_dia
             and not bool(int(os.environ.get("LEGIONSOLVERS_NO_RCM", "0")))
+            and same_space
             and matrix.n_domain == matrix.n_range
             and dp == rp
             and (dp.num_pieces == 1 or self.mesh is not None)
             and self.canonical_grid_shapes[domain_index] is None
-            # basis consistency: a fresh RCM basis may only be established
-            # before any other operator exists; afterwards every matrix must
-            # be expressed in the SAME basis (or fall back to ELL)
-            and (
-                self.basis_perm is not None
-                or not self.row_partitioned_matrices
+            # a fresh RCM basis may only be established on a space no other
+            # operator touches yet; existing original-basis operators on the
+            # space cannot be re-expressed after the fact
+            and not any(
+                range_index in (d, r)
+                for _, d, r in self.row_partitioned_matrices
             )
         ):
             from .parallel.reorder import try_reordered_operator
 
-            shared_perm = (
-                self.basis_perm["perm_np"] if self.basis_perm else None
-            )
             dist = try_reordered_operator(
-                matrix, rp, self.options, perm=shared_perm, mesh=self.mesh
+                matrix, rp, self.options, mesh=self.mesh
             )
-            if dist is not None and self.basis_perm is None:
-                self.basis_perm = {
+            if dist is not None:
+                import numpy as np
+
+                iperm_np = np.empty(len(dist.perm_np), np.int64)
+                iperm_np[dist.perm_np] = np.arange(len(dist.perm_np))
+                self.basis_perms[range_index] = {
                     "perm_np": dist.perm_np,
+                    "iperm_np": iperm_np,
                     "perm_dev": dist.perm_dev,
                     "iperm_dev": dist.iperm_dev,
                 }
@@ -217,6 +253,18 @@ class SquarePlanner:
         arrays and agree with the canonical partitions."""
         if domain_index >= self.num_spaces or range_index >= self.num_spaces:
             raise ValueError("space index out of range")
+        if (
+            domain_index in self.basis_perms
+            or range_index in self.basis_perms
+        ):
+            # matrix-free operators cannot be re-expressed in an RCM basis;
+            # silently registering one would corrupt permuted-space solves
+            raise ValueError(
+                "cannot register a matrix-free operator on a space already "
+                "in an RCM solver basis; register it before any reorderable "
+                "matrix, or pass prefer_dia=False / set "
+                "LEGIONSOLVERS_NO_RCM=1 for the explicit matrices"
+            )
         part = getattr(op, "partition", None)
         if part is not None and part != self.canonical_partitions[range_index]:
             raise ValueError("operator partition disagrees with canonical")
@@ -265,13 +313,34 @@ class SquarePlanner:
         if self.options.compensated_dots:
             from .ops.ddsum import dd_dot
 
-            d = lambda a, b: jnp.asarray(
-                dd_dot(a.reshape(-1), b.reshape(-1)), self.options.entry_dtype
-            )
+            def d(a, b, v):
+                if v.mesh is not None:
+                    # per-shard dd accumulation + a tiny f32 psum of the
+                    # collapsed partials, mirroring the sharded fused path
+                    # in stencil_op.py — running dd_dot's pad/fori_loop as
+                    # a GLOBAL computation would serialize and move every
+                    # shard's data (r4 advisor finding)
+                    import jax
+                    from jax.experimental.shard_map import shard_map
+
+                    spec = v.sharding.spec
+                    from .options import SHARD_AXIS
+
+                    f = shard_map(
+                        lambda x, y: jax.lax.psum(
+                            dd_dot(x.reshape(-1), y.reshape(-1)), SHARD_AXIS
+                        ),
+                        mesh=v.mesh, in_specs=(spec, spec),
+                        out_specs=jax.sharding.PartitionSpec(),
+                    )
+                    r = f(a, b)
+                else:
+                    r = dd_dot(a.reshape(-1), b.reshape(-1))
+                return jnp.asarray(r, self.options.entry_dtype)
         else:
-            d = blas1.dot
+            d = lambda a, b, v: blas1.dot(a, b)
         parts = [
-            d(v.data, w.data)
+            d(v.data, w.data, v)
             for v, w in zip(self._vectors(v_idx), self._vectors(w_idx))
         ]
         total = parts[0]
@@ -341,24 +410,32 @@ class SquarePlanner:
         when no matrix was reorder-upgraded.  Krylov recurrences are
         invariant under the orthogonal similarity, so residual histories
         and solutions (after :meth:`from_solver_basis`) are unchanged."""
-        if self.basis_perm is None or self._in_solver_basis:
+        if not self.basis_perms or self._in_solver_basis:
             return
-        self._permute_vectors(self.basis_perm["perm_dev"])
+        self._permute_vectors("perm_dev")
         self._in_solver_basis = True
         self._set_ops_in_basis(True)
 
     def from_solver_basis(self) -> None:
-        if self.basis_perm is None or not self._in_solver_basis:
+        if not self.basis_perms or not self._in_solver_basis:
             return
-        self._permute_vectors(self.basis_perm["iperm_dev"])
+        self._permute_vectors("iperm_dev")
         self._in_solver_basis = False
         self._set_ops_in_basis(False)
 
-    def _permute_vectors(self, idx) -> None:
+    def _permute_vectors(self, key: str) -> None:
+        """Permute each space's vectors with THAT SPACE's basis (spaces
+        without a basis are untouched — the r4 advisor found the previous
+        all-spaces application of the space-0 permutation corrupted or
+        crashed multi-space planners)."""
         import jax
 
-        for vset in [self.sol_vectors, self.rhs_vectors, *self.workspace_vectors]:
-            for v in vset:
+        for space, basis in self.basis_perms.items():
+            idx = basis[key]
+            for vset in [
+                self.sol_vectors, self.rhs_vectors, *self.workspace_vectors
+            ]:
+                v = vset[space]
                 if v._data is not None:
                     out = jnp.take(v.data, idx)
                     if v.sharding is not None:

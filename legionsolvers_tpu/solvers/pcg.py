@@ -23,20 +23,40 @@ from ..planner import SquarePlanner
 
 class JacobiPreconditioner:
     """z = D^{-1} r with D = diag(A).  Elementwise, so it needs no halo and
-    shards trivially with the vectors."""
+    shards trivially with the vectors.
+
+    Basis-aware (r4 advisor, severity medium): when the planner upgraded a
+    matrix to a :class:`~legionsolvers_tpu.parallel.reorder.ReorderedOperator`
+    the wrapped base holds the PERMUTED matrix, and ``_apply_M`` runs inside
+    the solver basis — so the inverse diagonal is kept in BOTH bases and
+    ``apply`` picks by ``planner._in_solver_basis``."""
 
     def __init__(self, planner: SquarePlanner):
-        self.inv_diags = []
+        from ..parallel.reorder import ReorderedOperator
+
+        self.planner = planner
+        self.inv_diags = []        # original basis
+        self.inv_diags_basis = []  # solver (RCM) basis; == original when none
+        self._active = None        # set by PCGSolver to thread via jit args
         for space in range(planner.num_spaces):
             part = planner.canonical_partitions[space]
             diag = np.zeros(part.padded_size)
             for dist, dom, rng in planner.row_partitioned_matrices:
                 if rng != space or dom != space:
                     continue
-                m = getattr(dist, "matrix", None)
+                base, perm = dist, None
+                if isinstance(dist, ReorderedOperator):
+                    # base.matrix lives in the RCM basis: basis position i
+                    # holds original index perm[i]
+                    base, perm = dist.base, dist.perm_np
+                m = getattr(base, "matrix", None)
                 if m is not None:
-                    on_diag = m.rows == m.cols
-                    np.add.at(diag, m.rows[on_diag], np.asarray(m.vals)[on_diag])
+                    rows = np.asarray(m.rows)
+                    on_diag = rows == np.asarray(m.cols)
+                    r = rows[on_diag]
+                    if perm is not None:
+                        r = perm[r]
+                    np.add.at(diag, r, np.asarray(m.vals)[on_diag])
                 else:  # stencil operator: constant diagonal
                     for off, v in dist.offsets:
                         if all(c == 0 for c in off):
@@ -45,17 +65,44 @@ class JacobiPreconditioner:
             nz = diag != 0
             inv[nz] = 1.0 / diag[nz]
             gs = planner.canonical_grid_shapes[space]
-            arr = jnp.asarray(
-                inv.reshape(gs) if gs else inv,
-                dtype=planner.options.entry_dtype,
-            )
+            basis = planner.basis_perms.get(space)
             v0 = planner.sol_vectors[space]
-            if v0.mesh is not None:
-                arr = jax.device_put(arr, v0.sharding)
+
+            def to_dev(a):
+                arr = jnp.asarray(
+                    a.reshape(gs) if gs else a,
+                    dtype=planner.options.entry_dtype,
+                )
+                if v0.mesh is not None:
+                    arr = jax.device_put(arr, v0.sharding)
+                return arr
+
+            arr = to_dev(inv)
             self.inv_diags.append(arr)
+            if basis is None:
+                self.inv_diags_basis.append(arr)
+            else:
+                perm_np = basis["perm_np"]
+                tail = np.arange(len(perm_np), part.padded_size)
+                self.inv_diags_basis.append(
+                    to_dev(inv[np.concatenate([perm_np, tail])])
+                )
+
+    def state(self):
+        """The per-space arrays for the CURRENT basis — threaded through the
+        compiled solve as arguments so large diagonals never become HLO
+        constants."""
+        src = (
+            self.inv_diags_basis
+            if self.planner._in_solver_basis
+            else self.inv_diags
+        )
+        return tuple(src)
 
     def apply(self, space: int, r: jnp.ndarray) -> jnp.ndarray:
-        return self.inv_diags[space] * r
+        if self._active is not None:
+            return self._active[space] * r
+        return self.state()[space] * r
 
 
 class PCGSolver:
@@ -122,20 +169,35 @@ class PCGSolver:
 
         rr0 = self.planner.dot(self.R, self.R).value
 
-        def run_impl(state, rz0, rr0):
-            history = jnp.zeros(num_iterations + 1, dtype=jnp.asarray(rr0).dtype)
-            history = history.at[0].set(rr0)
-            return jax.lax.fori_loop(
-                0, num_iterations, body, (state, rz0, history)
-            )
+        def run_impl(state, rz0, rr0, minv):
+            # thread the preconditioner arrays as ARGUMENTS (HLO-constant
+            # avoidance, same policy as planner.dump_state's op buffers)
+            if minv is not None:
+                self.M._active = minv
+            try:
+                history = jnp.zeros(
+                    num_iterations + 1, dtype=jnp.asarray(rr0).dtype
+                )
+                history = history.at[0].set(rr0)
+                return jax.lax.fori_loop(
+                    0, num_iterations, body, (state, rz0, history)
+                )
+            finally:
+                if minv is not None:
+                    self.M._active = None
 
         key = (num_iterations, use_jit)
         run = self._solve_cache.get(key)
         if run is None:
             run = jax.jit(run_impl) if use_jit else run_impl
             self._solve_cache[key] = run
+        minv = (
+            self.M.state()
+            if self.M is not None and hasattr(self.M, "state")
+            else None
+        )
         final_state, rz, history = run(
-            planner.dump_state(), self.rz[-1].value, rr0
+            planner.dump_state(), self.rz[-1].value, rr0, minv
         )
         planner.load_state(final_state)
         self.rz = [Scalar(rz)]
