@@ -76,8 +76,10 @@ def main(argv=None, bw=None):
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-dim", type=int, default=2, choices=[1, 2, 3, 4])
-    p.add_argument("-solver", type=int, default=1, choices=[1, 2, 3],
-                   help="1=CG 2=BiCGStab 3=GMRES(restart)")
+    p.add_argument("-solver", type=int, default=1, choices=[1, 2, 3, 4],
+                   help="1=CG 2=BiCGStab 3=GMRES(restart) 4=PCG+Jacobi "
+                   "(beyond-reference: the reference implements no "
+                   "preconditioner, README.md:31)")
     p.add_argument("-nx", type=int, default=4096)
     p.add_argument("-ny", type=int, default=4096)
     p.add_argument("-nz", type=int, default=256)
@@ -109,6 +111,10 @@ def main(argv=None, bw=None):
         solver = CGSolver(planner)
     elif args.solver == 2:
         solver = BiCGStabSolver(planner)
+    elif args.solver == 4:
+        from .solvers.pcg import JacobiPreconditioner, PCGSolver
+
+        solver = PCGSolver(planner, JacobiPreconditioner(planner))
     else:
         solver = GMRESSolver(planner, restart=args.restart)
     # shared traffic model (utils/roofline.py) — same accounting as bench.py
@@ -166,7 +172,8 @@ def main(argv=None, bw=None):
     hist = np.asarray(run(args.it))
 
     ms = sec_per_iter * 1e3
-    names = {1: "CG", 2: "BiCGStab", 3: f"GMRES({args.restart})"}
+    names = {1: "CG", 2: "BiCGStab", 3: f"GMRES({args.restart})",
+             4: "PCG(Jacobi)"}
     print(
         f"[bench] dim={args.dim} {names[args.solver]} n={n} pieces={args.vp} "
         f"dtype={args.dtype}: residual2[{args.it}]={hist[-1]:.4g}",

@@ -99,16 +99,27 @@ class BiCGStabSolver:
         RHS data directly (R_TILDE is always a copy of b in this solver, so
         its workspace slot stays unmaterialized).  Returns None when the
         topology doesn't allow fusion."""
+        from ..parallel.block_fused import diagonal_block_ops
+
         planner = self.planner
-        if planner.num_spaces != 1 or len(planner.row_partitioned_matrices) != 1:
-            return None
-        op, di, ri = planner.row_partitioned_matrices[0]
-        if di != 0 or ri != 0:
-            return None
-        if not getattr(op, "supports_fused_bicgstab", False):
+        ops = diagonal_block_ops(planner)
+        if ops is None:
             return None
         donate = getattr(self, "donate_workspace", False)
-        return op.make_fused_bicgstab_runner(num_iterations, donate=donate)
+        if planner.num_spaces == 1:
+            op = ops[0]
+            if not getattr(op, "supports_fused_bicgstab", False):
+                return None
+            return op.make_fused_bicgstab_runner(num_iterations,
+                                                 donate=donate)
+        from ..parallel.block_fused import (
+            block_bicgstab_supported,
+            make_block_bicgstab_runner,
+        )
+
+        if not block_bicgstab_supported(ops) or num_iterations < 1:
+            return None
+        return make_block_bicgstab_runner(ops, num_iterations, donate=donate)
 
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
         """Scan ``num_iterations`` compiled steps; returns the ||r||^2 history
@@ -135,24 +146,40 @@ class BiCGStabSolver:
                 )
             frun = self._solve_cache[fkey]
             if frun is not None:
-                xv = planner.get_vector(self.SOL, 0)
-                rv = planner.get_vector(self.R, 0)
-                pv = planner.get_vector(self.P, 0)
-                vv = planner.get_vector(self.V, 0)
-                rt = planner.get_vector(self.RHS, 0)
+                nsp = planner.num_spaces
+                xv = [planner.get_vector(self.SOL, i) for i in range(nsp)]
+                rv = [planner.get_vector(self.R, i) for i in range(nsp)]
+                pv = [planner.get_vector(self.P, i) for i in range(nsp)]
+                vv = [planner.get_vector(self.V, i) for i in range(nsp)]
+                rt = [planner.get_vector(self.RHS, i) for i in range(nsp)]
                 if getattr(self, "donate_workspace", False):
                     from .cg import _unshare_for_donation
 
                     _unshare_for_donation(
-                        (xv, rv, pv, vv), rt,
-                        planner.get_vector(self.R_TILDE, 0),
+                        (*xv, *rv, *pv, *vv), *rt,
+                        *(planner.get_vector(self.R_TILDE, i)
+                          for i in range(nsp)),
                     )
-                (xv.data, rv.data, pv.data, vv.data,
-                 rho, alpha, omega, history) = frun(
-                    xv.data, rv.data, pv.data, vv.data, rt.data,
-                    self.rho[-1].value, self.alpha[-1].value,
-                    self.omega[-1].value,
-                )
+                scalars = (self.rho[-1].value, self.alpha[-1].value,
+                           self.omega[-1].value)
+                if nsp == 1:
+                    (xd, rd, pd, vd, rho, alpha, omega, history) = frun(
+                        xv[0].data, rv[0].data, pv[0].data, vv[0].data,
+                        rt[0].data, *scalars,
+                    )
+                    xd, rd, pd, vd = (xd,), (rd,), (pd,), (vd,)
+                else:
+                    (xd, rd, pd, vd, rho, alpha, omega, history) = frun(
+                        tuple(v.data for v in xv),
+                        tuple(v.data for v in rv),
+                        tuple(v.data for v in pv),
+                        tuple(v.data for v in vv),
+                        tuple(v.data for v in rt),
+                        *scalars,
+                    )
+                for i in range(nsp):
+                    xv[i].data, rv[i].data = xd[i], rd[i]
+                    pv[i].data, vv[i].data = pd[i], vd[i]
                 dtype = planner.options.entry_dtype
                 self.rho = [Scalar(jnp.asarray(rho, dtype))]
                 self.alpha = [Scalar(jnp.asarray(alpha, dtype))]

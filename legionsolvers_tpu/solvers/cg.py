@@ -76,23 +76,36 @@ class CGSolver:
         planner.xpay(self.P, r_norm2_new, r_norm2_old, self.R)
 
     def _make_fused_runner(self, num_iterations: int):
-        """Fused whole-iteration runner when the system is a single space
-        driven by one diagonal-block operator that supports it (the
-        matrix-free StencilOperator's two-pass Pallas CG, 32 B/unknown/iter).
-        Returns None when the topology doesn't allow fusion."""
+        """Fused whole-iteration runner.  Single space: the operator's own
+        fused schedule (two-pass / s-step / 3-D Pallas, 32 / 12 B/unknown/
+        iter).  Multi-space block-diagonal systems (the reference's
+        benchmark stress config, BenchmarkStencil.cpp:201-207): per-space
+        fused phases with cross-space scalar sums
+        (parallel/block_fused.py).  Returns None when the topology doesn't
+        allow fusion."""
+        from ..parallel.block_fused import diagonal_block_ops
+
         planner = self.planner
-        if planner.num_spaces != 1 or len(planner.row_partitioned_matrices) != 1:
-            return None
-        op, di, ri = planner.row_partitioned_matrices[0]
-        if di != 0 or ri != 0:
-            return None
-        if not getattr(op, "supports_fused_cg", False):
+        ops = diagonal_block_ops(planner)
+        if ops is None:
             return None
         donate = getattr(self, "donate_workspace", False)
-        try:
-            return op.make_fused_cg_runner(num_iterations, donate=donate)
-        except TypeError:  # operator predates the donate option
-            return op.make_fused_cg_runner(num_iterations)
+        if planner.num_spaces == 1:
+            op = ops[0]
+            if not getattr(op, "supports_fused_cg", False):
+                return None
+            try:
+                return op.make_fused_cg_runner(num_iterations, donate=donate)
+            except TypeError:  # operator predates the donate option
+                return op.make_fused_cg_runner(num_iterations)
+        from ..parallel.block_fused import (
+            block_cg_supported,
+            make_block_cg_runner,
+        )
+
+        if not block_cg_supported(ops) or num_iterations < 1:
+            return None
+        return make_block_cg_runner(ops, num_iterations, donate=donate)
 
     def solve(self, num_iterations: int, use_jit: bool = True) -> jnp.ndarray:
         """Run ``num_iterations`` steps as one compiled ``lax.scan`` loop.
@@ -125,9 +138,10 @@ class CGSolver:
                 )
             frun = self._solve_cache[fkey]
             if frun is not None:
-                x = planner.get_vector(self.SOL, 0)
-                r = planner.get_vector(self.R, 0)
-                p = planner.get_vector(self.P, 0)
+                nsp = planner.num_spaces
+                xs = [planner.get_vector(self.SOL, i) for i in range(nsp)]
+                rs = [planner.get_vector(self.R, i) for i in range(nsp)]
+                ps = [planner.get_vector(self.P, i) for i in range(nsp)]
                 consume = getattr(self, "consume_rhs", False)
                 if getattr(self, "donate_workspace", False):
                     # planner.copy shares buffers (P/R alias the RHS array
@@ -141,15 +155,29 @@ class CGSolver:
                     # invalidated after the solve.
                     protected = (
                         () if consume
-                        else (planner.get_vector(self.RHS, 0),)
+                        else tuple(
+                            planner.get_vector(self.RHS, i)
+                            for i in range(nsp)
+                        )
                     )
-                    _unshare_for_donation((x, r, p), *protected)
+                    _unshare_for_donation((*xs, *rs, *ps), *protected)
                 rr0 = self.residual_norm_squared[-1].value
-                x.data, r.data, p.data, history = frun(
-                    x.data, r.data, p.data, rr0
-                )
+                if nsp == 1:
+                    xd, rd, pd, history = frun(
+                        xs[0].data, rs[0].data, ps[0].data, rr0
+                    )
+                    xd, rd, pd = (xd,), (rd,), (pd,)
+                else:
+                    xd, rd, pd, history = frun(
+                        tuple(v.data for v in xs),
+                        tuple(v.data for v in rs),
+                        tuple(v.data for v in ps),
+                        rr0,
+                    )
+                for i in range(nsp):
+                    xs[i].data, rs[i].data, ps[i].data = xd[i], rd[i], pd[i]
                 if consume and getattr(self, "donate_workspace", False):
-                    for i in range(planner.num_spaces):
+                    for i in range(nsp):
                         planner.get_vector(self.RHS, i)._data = None
                 self.residual_norm_squared = ScalarHistory(history)
                 return history

@@ -129,6 +129,17 @@ class PCGSolver:
         self.residual_norm_squared: List[Scalar] = [planner.dot(self.R, self.R)]
         self._solve_cache = {}
 
+    def reset(self) -> None:
+        """Re-derive the workspace state from the CURRENT sol/rhs vectors
+        (the constructor's initialization without reallocating; the caller
+        zero-fills the solution vector for a from-scratch restart)."""
+        planner = self.planner
+        planner.copy(self.R, self.RHS)
+        self._apply_M(self.Z, self.R)
+        planner.copy(self.P, self.Z)
+        self.rz = [planner.dot(self.R, self.Z)]
+        self.residual_norm_squared = [planner.dot(self.R, self.R)]
+
     def _apply_M(self, dst_idx: int, src_idx: int) -> None:
         planner = self.planner
         for i in range(planner.num_spaces):

@@ -78,32 +78,46 @@ def operator_matvec_passes(op) -> int:
     return 2
 
 
+def _op_cg_kind(op) -> str:
+    """Per-operator fused-CG schedule label."""
+    view = getattr(op, "_view", None)
+    if view is None:
+        return "fused_jnp"
+    if view.get("kind") == "3d":
+        from ..ops.pallas.stencil3d import supports3d_xpay_pq
+
+        if supports3d_xpay_pq(view["Y"], view["Z"]):
+            return "fused3d_xp"
+        return "fused3d"
+    # the s-step schedule needs >= 2 iterations; benchmark runs always
+    # qualify, a single step() falls back to fused2d with the same
+    # marginal traffic rounding
+    if getattr(op, "step2_eligible", False):
+        return "fused2d_x2"
+    return "fused2d"
+
+
 def cg_schedule(solver) -> str:
     """Which CG schedule ``solver.solve()`` will execute, by the same
-    capability probes CGSolver._make_fused_runner / StencilOperator use."""
+    capability probes CGSolver._make_fused_runner / StencilOperator use.
+    Block-diagonal multi-space systems (parallel/block_fused.py) run the
+    per-space schedule with identical per-unknown traffic, so they report
+    the same label."""
     planner = solver.planner
-    if (
-        planner.num_spaces == 1
-        and len(planner.row_partitioned_matrices) == 1
-        and planner.row_partitioned_matrices[0][1:] == (0, 0)
-        and getattr(planner.row_partitioned_matrices[0][0], "supports_fused_cg", False)
-    ):
-        op = planner.row_partitioned_matrices[0][0]
-        view = getattr(op, "_view", None)
-        if view is None:
-            return "fused_jnp"
-        if view.get("kind") == "3d":
-            from ..ops.pallas.stencil3d import supports3d_xpay_pq
+    from ..parallel.block_fused import block_cg_supported, diagonal_block_ops
 
-            if supports3d_xpay_pq(view["Y"], view["Z"]):
-                return "fused3d_xp"
-            return "fused3d"
-        # the s-step schedule needs >= 2 iterations; benchmark runs always
-        # qualify, a single step() falls back to fused2d with the same
-        # marginal traffic rounding
-        if getattr(op, "step2_eligible", False):
-            return "fused2d_x2"
-        return "fused2d"
+    ops = diagonal_block_ops(planner)
+    if ops is not None and all(
+        getattr(op, "supports_fused_cg", False) for op in ops
+    ):
+        if planner.num_spaces == 1 or block_cg_supported(ops):
+            kinds = {_op_cg_kind(op) for op in ops}
+            if len(kinds) > 1:
+                # mixed per-space schedules: s-step needs ALL spaces
+                # eligible, so the block runner runs the two-pass family;
+                # charge the most expensive member
+                kinds.discard("fused2d_x2")
+            return max(kinds, key=lambda k: CG_PASSES[k])
     # step()-per-iteration path: the p.q reduction is fused into the SpMV
     # pass when every operator supports matvec_dot
     fusable = all(
@@ -165,7 +179,12 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
     # extra streams beyond the matrix-free 2-pass matvec (DIA coefficients,
     # ELL index/value slabs), charged once per matvec in the schedule
     extra = max((operator_matvec_passes(op) - 2 for op in ops), default=0)
-    if name in ("CGSolver", "PCGSolver"):
+    if name == "PCGSolver":
+        # transcription schedule + Jacobi application: matvec_dot (2),
+        # x axpy (3), r axpy (3), z = Minv * r (3), rz dot (2), rr dot (1),
+        # p xpay (3) = 17 passes (68 B/unknown at f32)
+        return (17 + 2 * extra) * itemsize * n, "pcg_jacobi"
+    if name == "CGSolver":
         sched = cg_schedule(solver)
         passes = CG_PASSES[sched] + (extra if sched in ("fused_jnp", "classic") else 0)
         if sched == "fused2d_x2":
@@ -174,15 +193,23 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
         return passes * itemsize * n, label
     if name == "BiCGStabSolver":
         planner = solver.planner
+        from ..parallel.block_fused import (
+            block_bicgstab_supported,
+            diagonal_block_ops,
+        )
+
         # three-pass Pallas schedule (ops/pallas/bicgstab2d.py): pv 6 +
-        # st 2 + upd 7 = 15 passes (60 B/unknown at f32)
+        # st 2 + upd 7 = 15 passes (60 B/unknown at f32); block systems
+        # run it per space (same per-unknown traffic) when every space's
+        # operator supports it
+        dops = diagonal_block_ops(planner)
         if (
-            planner.num_spaces == 1
-            and len(planner.row_partitioned_matrices) == 1
-            and planner.row_partitioned_matrices[0][1:] == (0, 0)
-            and getattr(ops[0], "supports_fused_bicgstab", False)
+            dops is not None
+            and all(getattr(op, "supports_fused_bicgstab", False)
+                    for op in dops)
+            and (planner.num_spaces == 1 or block_bicgstab_supported(dops))
         ):
-            kind = getattr(ops[0], "_view", None) or {}
+            kind = getattr(dops[0], "_view", None) or {}
             label = ("bicgstab_fused3d" if kind.get("kind") == "3d"
                      else "bicgstab_fused2d")
             return 15 * itemsize * n, label
