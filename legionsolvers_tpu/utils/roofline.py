@@ -180,10 +180,14 @@ def solver_bytes_per_iteration(solver, n: int) -> tuple[float, str]:
     # ELL index/value slabs), charged once per matvec in the schedule
     extra = max((operator_matvec_passes(op) - 2 for op in ops), default=0)
     if name == "PCGSolver":
-        # transcription schedule + Jacobi application: matvec_dot (2),
-        # x axpy (3), r axpy (3), z = Minv * r (3), rz dot (2), rr dot (1),
-        # p xpay (3) = 17 passes (68 B/unknown at f32)
-        return (17 + 2 * extra) * itemsize * n, "pcg_jacobi"
+        # XLA-audited step traffic (scripts/audit_traffic.py): the naive
+        # pass count is 17 (matvec_dot 2, x axpy 3, r axpy 3, z apply 3,
+        # rz dot 2, rr dot 1, p xpay 3), but the compiler fuses the whole
+        # elementwise tail into the matvec/update passes — cost analysis
+        # reports 6.0 passes (24 B/unknown at f32).  The solve-loop path
+        # measures ~10 passes on chip (loop-boundary state carries); the
+        # audited step count is the principled SOL.
+        return (6 + 2 * extra) * itemsize * n, "pcg_jacobi"
     if name == "CGSolver":
         sched = cg_schedule(solver)
         passes = CG_PASSES[sched] + (extra if sched in ("fused_jnp", "classic") else 0)

@@ -131,8 +131,21 @@ def main():
                  "fused_jnp"))
 
     planner, solver, n = build_system(BiCGStabSolver)
-    rows.append(("BiCGStab step()",)
-                + audit_step(planner, solver, ("rho", "alpha", "omega"), n))
+    # like CG: the audit covers the step() path (XLA-fused transcription),
+    # so compare against the 24-pass transcription model, not the 15-pass
+    # fused-Pallas solve() schedule the model function would report
+    audited, _, _ = audit_step(planner, solver,
+                               ("rho", "alpha", "omega"), n)
+    rows.append(("BiCGStab step()", audited, 24.0, "bicgstab_fused"))
+
+    from legionsolvers_tpu.solvers.pcg import JacobiPreconditioner, PCGSolver
+
+    def _pcg(planner):
+        return PCGSolver(planner, JacobiPreconditioner(planner))
+
+    planner, solver, n = build_system(_pcg)
+    audited, modeled, label = audit_step(planner, solver, ("rz",), n)
+    rows.append(("PCG(Jacobi) step()", audited, modeled, label))
 
     planner, solver, n = build_system(GMRESSolver, restart=10)
     from legionsolvers_tpu.core.scalar import Scalar
