@@ -195,6 +195,36 @@ def try_reordered_operator(
         )
         if plan is not None:
             base = WinEllOperator(pm, partition, options, plan=plan)
+    if base is None and partition.num_pieces == 1:
+        # RCM could not band this matrix: the routed-gather pipeline
+        # (parallel/genspmv.py) is pattern-agnostic like the reference's
+        # cuSPARSE (CSRMatrixTasks.cu:14-156).  With a free basis choice
+        # it prefers its own DEGREE-SORTED order (tight SELL tiles ~2.3x
+        # fewer slots than arrival order); under a forced shared basis it
+        # builds on the given permutation.
+        import os as _os
+
+        if not _os.environ.get("LEGIONSOLVERS_NO_GENSPMV"):
+            from .genspmv import GeneralSpmvOperator, degree_sort_perm
+
+            if not force:
+                dperm = degree_sort_perm(matrix)
+                diperm = np.empty(n, np.int64)
+                diperm[dperm] = np.arange(n)
+                try:
+                    base_d = GeneralSpmvOperator(
+                        _PermutedMatrix(matrix, diperm), partition, options
+                    )
+                    return ReorderedOperator(
+                        base_d, dperm, diperm, partition, options
+                    )
+                except ValueError:
+                    pass  # no feasible routing geometry (tiny/degenerate)
+            else:
+                try:
+                    base = GeneralSpmvOperator(pm, partition, options)
+                except ValueError:
+                    pass
     if base is None and partition.num_pieces > 1:
         from .distmatrix import RowPartitionedMatrix
 
