@@ -187,14 +187,36 @@ def try_reordered_operator(
         base = DiaOperator(pm, partition=partition, mesh=mesh,
                            options=options)
     if base is None and partition.num_pieces == 1:
-        from .winell_op import plan_winell, WinEllOperator
-
-        plan = plan_winell(
-            pm.rows, pm.cols, np.asarray(pm.vals), n,
-            partition.padded_size, np.dtype(options.entry_dtype),
+        from .winell_op import (
+            SlicedWinEllOperator,
+            WinEllOperator,
+            plan_winell,
+            plan_winell_classes,
         )
-        if plan is not None:
-            base = WinEllOperator(pm, partition, options, plan=plan)
+
+        # sliced-ELL per-degree-class plans (round 5): kills the uniform-L
+        # padding on irregular-row matrices (the round-4 randband row paid
+        # 3.3x); falls back to the classic uniform plan when one class
+        # suffices or slicing is ineligible
+        import os as _os2
+
+        planc = None
+        if not _os2.environ.get("LEGIONSOLVERS_NO_SLICED_ELL"):
+            planc = plan_winell_classes(
+                pm.rows, pm.cols, np.asarray(pm.vals), n,
+                partition.padded_size, np.dtype(options.entry_dtype),
+            )
+        if planc is not None and "classes" in planc:
+            base = SlicedWinEllOperator(pm, partition, options, plan=planc)
+        elif planc is not None:
+            base = WinEllOperator(pm, partition, options, plan=planc)
+        else:
+            plan = plan_winell(
+                pm.rows, pm.cols, np.asarray(pm.vals), n,
+                partition.padded_size, np.dtype(options.entry_dtype),
+            )
+            if plan is not None:
+                base = WinEllOperator(pm, partition, options, plan=plan)
     if base is None and partition.num_pieces == 1:
         # RCM could not band this matrix: the routed-gather pipeline
         # (parallel/genspmv.py) is pattern-agnostic like the reference's

@@ -61,6 +61,7 @@ def plan_winell(
     min_fill: float = 1 / 16,
     window_rows_min: int = 0,
     row_length_min: int = 0,
+    n_win: Optional[int] = None,
 ) -> Optional[dict]:
     """Host-side windowed-ELL packing; returns None when ineligible.
 
@@ -74,6 +75,9 @@ def plan_winell(
     the window DMA count grows.
     """
     N0 = max(padded_size, 1024)
+    # window (x) space may exceed the row space: sliced-ELL classes plan a
+    # row RANGE whose windows still index the full x (round 5)
+    N_win0 = max(n_win if n_win is not None else padded_size, N0)
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.float64)
@@ -141,7 +145,7 @@ def plan_winell(
         exceeded."""
         TR = Rt * 128
         N = -(-N0 // TR) * TR
-        NR = N // 128
+        NR = max(N, N_win0) // 128
         if NR < 8:
             return None
         nt, mn, mx = extents_for(Rt)
@@ -156,7 +160,7 @@ def plan_winell(
         if KR > min(max_window_rows, NR - (NR % 8)):
             return None
         ws = np.minimum(ws, NR - KR)
-        return N, nt, ws, KR
+        return NR * 128, nt, ws, KR  # first entry = WINDOW (x) space
 
     if tile_rows_of_128 is not None:
         geo = window_geometry(tile_rows_of_128)
@@ -178,7 +182,7 @@ def plan_winell(
         if best is None:
             return None
         Rt, geo = best[1], best[2]
-    N, nt, ws, KR = geo
+    N_x, nt, ws, KR = geo
     TR = Rt * 128
 
     ts = (r // TR) * L + slot
@@ -192,7 +196,8 @@ def plan_winell(
     if ntp != nt:  # Mosaic SMEM blocks need 8-divisible row counts
         ws2 = np.concatenate([ws2, np.zeros((ntp - nt, L), np.int32)])
     return {
-        "N": N,
+        "N": N_x,                 # x padding (window space)
+        "N_rows": nt * TR,        # output rows (row space)
         "window_rows": KR,
         "wstart": ws2,
         "cols": ell_cols.reshape(nt, L, Rt, 128),
@@ -295,6 +300,199 @@ class WinEllOperator:
                     s.n_kernel = m.n_kernel
 
             self._transpose_op = WinEllOperator(
+                _Swapped(self.matrix), self.partition, self.options
+            )
+        return self._transpose_op
+
+    def rmatvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.transpose().matvec(x)
+
+
+def plan_winell_classes(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n: int,
+    padded_size: int,
+    dtype,
+    max_classes: int = 6,
+    min_fill: float = 1 / 16,
+):
+    """Sliced-ELL planning (round 5, r4 verdict item 3): per-1024-row-block
+    slot counts instead of one global L.
+
+    Uniform-L ELL pays the MAX row degree for every row — the round-4
+    randband row wasted 3.3x (L = 26 slots vs mean 8 nnz/row).  Windows are
+    a per-tile property, so BLOCKS of 1024 rows can be reordered by degree
+    without touching the window spans: blocks are packed into <= 6
+    contiguous degree classes, each planned independently with its own L
+    (and its own tile/window geometry) over the SAME x window space; the
+    device matvec concatenates the class outputs and un-shuffles y by a
+    1024-row block gather (~200 GB/s measured — one cheap pass).
+
+    Returns None when ineligible, a plain :func:`plan_winell` dict when one
+    class suffices, else {"classes": [(n_blocks_c, plan_c), ...],
+    "block_src": int32[nbp] (shuffled block b reads original block
+    block_src[b]), "newpos": int32[nbp] (original block b lands at
+    newpos[b]), "nb": nb}."""
+    N0 = max(padded_size, 1024)
+    nb = -(-N0 // 1024)
+    rows = np.asarray(rows, np.int64)
+    counts = np.bincount(rows, minlength=nb * 1024)
+    Lb = counts.reshape(nb, 1024).max(axis=1)
+    order = np.argsort(-Lb, kind="stable")  # blocks by descending degree
+    Ls = Lb[order]
+    if Ls[0] == 0 or Ls[0] > 128:
+        return None
+    # greedy class boundaries: new class when the running max exceeds the
+    # current block's L by > 30% (merge smallest until <= max_classes)
+    bounds = [0]
+    for i in range(1, nb):
+        if Ls[bounds[-1]] > 1.3 * max(Ls[i], 1):
+            bounds.append(i)
+    bounds.append(nb)
+    while len(bounds) - 1 > max_classes:
+        # merge the pair of adjacent classes with the least added padding
+        costs = [
+            (Ls[bounds[i]] - Ls[bounds[i + 1]]) * (bounds[i + 2] - bounds[i + 1])
+            for i in range(len(bounds) - 2)
+        ]
+        k = int(np.argmin(costs))
+        del bounds[k + 1]
+    slots = sum(
+        int(Ls[bounds[i]]) * (bounds[i + 1] - bounds[i]) * 1024
+        for i in range(len(bounds) - 1)
+    )
+    if len(rows) < min_fill * slots:
+        return None
+    if len(bounds) == 2:
+        # one class: the classic uniform plan (no shuffle machinery)
+        return plan_winell(rows, cols, np.asarray(vals), n, padded_size,
+                           dtype, min_fill=0.0)
+
+    newpos = np.empty(nb, np.int64)
+    newpos[order] = np.arange(nb)
+    new_r = newpos[rows // 1024] * 1024 + rows % 1024
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    classes = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i] * 1024, bounds[i + 1] * 1024
+        sel = (new_r >= lo) & (new_r < hi)
+        plan_c = plan_winell(
+            new_r[sel] - lo, cols[sel], vals[sel], hi - lo, hi - lo,
+            dtype, min_fill=0.0, n_win=N0,
+        )
+        if plan_c is None:
+            return None
+        classes.append((bounds[i + 1] - bounds[i], plan_c))
+    return {
+        "classes": classes,
+        "block_src": order.astype(np.int32),
+        "newpos": newpos.astype(np.int32),
+        "nb": nb,
+    }
+
+
+class SlicedWinEllOperator:
+    """y = A @ x on per-degree-class windowed-gather plans (single piece).
+    See :func:`plan_winell_classes`."""
+
+    def __init__(
+        self,
+        matrix,
+        partition: BlockPartition,
+        options: SolverOptions = DEFAULT_OPTIONS,
+        plan: Optional[dict] = None,
+    ):
+        if partition.num_pieces != 1:
+            raise ValueError("SlicedWinEllOperator is single-piece only")
+        self.matrix = matrix
+        self.partition = partition
+        self.options = options
+        dtype = np.dtype(options.entry_dtype)
+        if plan is None:
+            plan = plan_winell_classes(
+                matrix.rows, matrix.cols, np.asarray(matrix.vals),
+                matrix.n_range, partition.padded_size, dtype,
+            )
+        if plan is None or "classes" not in plan:
+            raise ValueError("matrix is not sliced-winell eligible")
+        self._nb = plan["nb"]
+        self._class_meta = tuple(
+            (nb_c, p["window_rows"]) for nb_c, p in plan["classes"]
+        )
+        self._N = max(p["N"] for _, p in plan["classes"])
+        self.class_arrays = tuple(
+            (jnp.asarray(p["wstart"]), jnp.asarray(p["cols"]),
+             jnp.asarray(p["vals"]))
+            for _, p in plan["classes"]
+        )
+        self.newpos = jnp.asarray(plan["newpos"])
+        self.row_length = float(
+            sum(nb_c * p["row_length"] for nb_c, p in plan["classes"])
+            / max(plan["nb"], 1)
+        )
+        self._interpret = jax.default_backend() == "cpu"
+        self._transpose_op = None
+
+    @property
+    def n_domain(self) -> int:
+        return self.matrix.n_domain
+
+    @property
+    def n_range(self) -> int:
+        return self.matrix.n_range
+
+    def nnz(self) -> int:
+        return self.matrix.n_kernel
+
+    @property
+    def supports_matvec_dot(self) -> bool:
+        return False
+
+    @property
+    def uses_pallas(self) -> bool:
+        return True
+
+    def device_state(self):
+        return (self.class_arrays, self.newpos)
+
+    def set_device_state(self, state) -> None:
+        self.class_arrays, self.newpos = state
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        P = self.partition.padded_size
+        xp = x.reshape(-1)
+        if self._N != P:
+            xp = jnp.pad(xp, (0, self._N - P))
+        x2d = xp.reshape(-1, 128)
+        parts = []
+        for (nb_c, KR), (ws, pc, pv) in zip(self._class_meta,
+                                            self.class_arrays):
+            y_c = winell_spmv(
+                x2d, ws, pc, pv, window_rows=KR,
+                interpret=self._interpret,
+            ).reshape(-1)
+            parts.append(y_c[: nb_c * 1024])
+        y_shuf = jnp.concatenate(parts)
+        # un-shuffle the 1024-row blocks (one row-gather pass)
+        y = y_shuf.reshape(self._nb, 1024)[self.newpos].reshape(-1)
+        return y[:P]
+
+    def matvec_add(self, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        return y + self.matvec(x)
+
+    def transpose(self) -> "SlicedWinEllOperator":
+        if self._transpose_op is None:
+
+            class _Swapped:
+                def __init__(s, m):
+                    s.rows, s.cols, s.vals = m.cols, m.rows, m.vals
+                    s.n_domain, s.n_range = m.n_range, m.n_domain
+                    s.n_kernel = m.n_kernel
+
+            self._transpose_op = SlicedWinEllOperator(
                 _Swapped(self.matrix), self.partition, self.options
             )
         return self._transpose_op

@@ -381,3 +381,66 @@ def test_sharded_reordered_solve(f64):
     x_e = np.asarray(pl_e.get_vector(0, 0).data)[:n]
     np.testing.assert_allclose(h_w, h_e, rtol=1e-9)
     np.testing.assert_allclose(x_w, x_e, rtol=1e-8, atol=1e-12)
+
+
+def test_sliced_winell_degree_coherent(f64):
+    """Sliced-ELL (round 5): per-degree-class plans on a graded band.
+    Block-granular classes fire only when row degree is spatially
+    coherent (the typical RCM outcome for graded meshes); matvec/rmatvec
+    must match scipy and the class L's must descend."""
+    import scipy.sparse as sp
+
+    from legionsolvers_tpu.parallel.winell_op import (
+        SlicedWinEllOperator,
+        plan_winell_classes,
+    )
+
+    rng = np.random.default_rng(3)
+    n, bw = 32768, 512
+    deg = (3 + 24 * (np.arange(n) / n)).astype(np.int64)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rows + rng.integers(-bw, bw + 1, len(rows))
+    keep = (cols >= 0) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(-1, 1, len(rows))
+
+    class M:
+        pass
+
+    m = M()
+    m.rows, m.cols, m.vals = rows, cols, vals
+    m.n_domain = m.n_range = n
+    m.n_kernel = len(rows)
+    part = BlockPartition(n, 1)
+    plan = plan_winell_classes(rows, cols, vals, n, part.padded_size,
+                               np.float64)
+    assert plan is not None and "classes" in plan
+    Ls = [p["row_length"] for _, p in plan["classes"]]
+    assert Ls == sorted(Ls, reverse=True) and len(Ls) >= 3
+    op = SlicedWinEllOperator(m, part, f64, plan=plan)
+    x = np.random.default_rng(0).standard_normal(part.padded_size)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    np.testing.assert_allclose(y[:n], A @ x[:n], rtol=1e-11, atol=1e-11)
+    z = np.asarray(op.rmatvec(jnp.asarray(x)))
+    np.testing.assert_allclose(z[:n], A.T @ x[:n], rtol=1e-11, atol=1e-11)
+
+
+def test_sliced_winell_iid_degrees_degenerate(f64):
+    """Negative result pinned (round 5): iid row degrees make every
+    1024-row block's max ~ the global max, so the class partition
+    degenerates to ONE class (the classic uniform plan) — tile-granular
+    slicing cannot help the iid randband (PROFILE_r05.md)."""
+    from legionsolvers_tpu.parallel.winell_op import plan_winell_classes
+
+    rng = np.random.default_rng(5)
+    n, bw, avg = 32768, 512, 8
+    rows = rng.integers(0, n, n * avg)
+    cols = rows + rng.integers(-bw, bw + 1, n * avg)
+    keep = (cols >= 0) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(-1, 1, len(rows))
+    part = BlockPartition(n, 1)
+    plan = plan_winell_classes(rows, cols, vals, n, part.padded_size,
+                               np.float64)
+    assert plan is not None and "classes" not in plan  # uniform fallback
