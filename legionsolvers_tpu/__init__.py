@@ -18,7 +18,9 @@ from .parallel.distmatrix import RowPartitionedMatrix
 from .parallel.dia_op import DiaOperator
 from .parallel.stencil_op import StencilOperator
 from .parallel.winell_op import WinEllOperator
+from .parallel.genspmv import GeneralSpmvOperator
 from .parallel.reorder import ReorderedOperator
+from .parallel.winell_op import SlicedWinEllOperator, WinEllOperator
 from .planner import SquarePlanner
 from .solvers.cg import CGSolver
 from .solvers.bicgstab import BiCGStabSolver

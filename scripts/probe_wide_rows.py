@@ -29,7 +29,15 @@ import numpy as np
 
 from legionsolvers_tpu.ops.pallas import bicgstab2d as b2
 from legionsolvers_tpu.ops.pallas import stencil2d as s2
-from legionsolvers_tpu.utils.timing import marginal_seconds_per_iter
+from legionsolvers_tpu.utils.timing import marginal_seconds_per_iter, time_call
+
+
+def marg_verbose(call, short, long):
+    ts = time_call(call, short)
+    tl = time_call(call, long)
+    print(f"    raw: t[{short}]={ts*1e3:.1f} ms, t[{long}]={tl*1e3:.1f} ms",
+          flush=True)
+    return max((tl - ts) / (long - short), 1e-12)
 
 OFFS = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 VALS = (-4.0, 1.0, 1.0, 1.0, 1.0)
@@ -83,7 +91,7 @@ def run_step2(Br, C):
         return (f1 if k == 4 else f2)(st, jnp.float32(ctr[0]))
 
     jax.block_until_ready(call(4)), jax.block_until_ready(call(84))
-    per = marginal_seconds_per_iter(call, 4, 84)
+    per = marg_verbose(call, 4, 84)
     print(f"step2 ({Br}x{C}, n={n/1e6:.0f}M): {per*1e3:.3f} ms/pass "
           f"({per/n*1e12:.2f} ps/elt, {24*n/per/1e9:.0f} GB/s apparent)",
           flush=True)
@@ -130,7 +138,7 @@ def run_bicg(Br, C):
         return (f1 if k == 3 else f2)(st, jnp.float32(ctr[0]))
 
     jax.block_until_ready(call(3)), jax.block_until_ready(call(33))
-    per = marginal_seconds_per_iter(call, 3, 33)
+    per = marg_verbose(call, 3, 33)
     print(f"bicg trio ({Br}x{C}, n={n/1e6:.0f}M): {per*1e3:.3f} ms/iter "
           f"({60*n/per/1e9:.0f} GB/s at the 60 B/u model)", flush=True)
     return per / n
