@@ -77,7 +77,11 @@ def run_step2(Br, C):
             def b2_(k, st):
                 out = body(st, k)
                 return (out[0], out[1] * (1.0 + 1e-12 * seed), out[2])
-            return jax.lax.fori_loop(0, K, b2_, state)
+            fin = jax.lax.fori_loop(0, K, b2_, state)
+            # SMALL output: the relay fetches whole result buffers on any
+            # host read (~7 s for a 256 MB leaf), which buries marginal
+            # differences
+            return sum(jnp.sum(a[:1, :8]) for a in fin)
         return f
 
     f1, f2 = mk(4), mk(84)
@@ -109,15 +113,17 @@ def run_bicg(Br, C):
     n = Br * C
 
     def body(st, k):
-        r_, p_, v_, x_ = st
+        # rt rides the carry: a closed-over 256 MB array becomes an HLO
+        # constant and overflows the compile relay (HTTP 413)
+        r_, p_, v_, x_, rt_ = st
         beta = jnp.float32(1e-3) * (1 + 1e-9 * k)
-        p2, v2, rtv = b2.bicg_pv(r_, p_, v_, rt, beta, jnp.float32(1e-3),
+        p2, v2, rtv = b2.bicg_pv(r_, p_, v_, rt_, beta, jnp.float32(1e-3),
                                  **kw)
         ts, tt = b2.bicg_st(r_, v2, jnp.float32(1e-3), **kw)
         x2, r2, rr, rtr = b2.bicg_update(
-            r_, v2, x_, p2, rt, jnp.float32(1e-3),
+            r_, v2, x_, p2, rt_, jnp.float32(1e-3),
             (ts / tt) * jnp.float32(1e-6), **kw)
-        return (r2, p2, v2, x2)
+        return (r2, p2, v2, x2, rt_)
 
     def mk(K):
         @jax.jit
@@ -125,12 +131,13 @@ def run_bicg(Br, C):
             def b2_(k, st):
                 out = body(st, k)
                 return (out[0] * (1.0 + 1e-12 * seed), out[1], out[2],
-                        out[3])
-            return jax.lax.fori_loop(0, K, b2_, state)
+                        out[3], out[4])
+            fin = jax.lax.fori_loop(0, K, b2_, state)
+            return sum(jnp.sum(a[:1, :8]) for a in fin[:4])
         return f
 
     f1, f2 = mk(3), mk(33)
-    st = (r, p, v, x)
+    st = (r, p, v, x, rt)
     ctr = [0]
 
     def call(k):
