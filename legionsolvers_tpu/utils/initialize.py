@@ -49,4 +49,19 @@ def initialize(print_info: bool = True, verbose: bool = False) -> None:
     if verbose:
         print(f"{PREFIX} x64 enabled: {jax.config.read('jax_enable_x64')}")
         print(f"{PREFIX} default matmul precision: "
-              f"{jax.config.read('jax_default_matmul_precision')}", file=sys.stderr)
+              f"{jax.config.jax_default_matmul_precision}", file=sys.stderr)
+        import os
+
+        # runtime kill-switches, the analog of the reference's -lg:/-ll:
+        # flag tiers (SURVEY §5 "Config / flag system"); each LEGIONSOLVERS_
+        # NO_* disables one fast path and falls back to the next-generic one
+        switches = (
+            "NO_PALLAS", "NO_DIA", "NO_RCM", "NO_WINELL", "NO_SLICED_ELL",
+            "NO_GENSPMV", "NO_SSTEP", "NO_FUSED_BICGSTAB",
+            "NO_BLOCK_FUSED", "NO_DONATE", "NO_NATIVE",
+        )
+        active = [s for s in switches
+                  if os.environ.get(f"LEGIONSOLVERS_{s}")]
+        print(f"{PREFIX} kill-switches active: "
+              + (", ".join(active) if active else "none")
+              + f" (available: {', '.join(switches)})")
