@@ -211,12 +211,14 @@ def plan_static_gather(
         reg_o = dest_row[ovf]  # G2 == 1: region id = dest row
         cnt_o0 = np.bincount(reg_o, minlength=D)
         V = _round_up(int(cnt_o0.max(initial=1)), 128)
-        if V > 2048:
-            return None  # pathological tail; caller retries uncapped
         SRB3 = -(-(RB * W2 + V) // 1024)
         BR3 = _hop3_block_rows(G2, SRB3)
-        if BR3 is None or SRB3 > MAX_W_ROWS:
-            return None
+        if V > 2048 or BR3 is None or SRB3 > MAX_W_ROWS:
+            # the capped winner is infeasible at its EXACT overflow width
+            # (the search used a conservative guess); fall back to the
+            # best uncapped candidate instead of rejecting the matrix
+            return plan_static_gather(src_of_dest, n_src_pad,
+                                      allow_cap=False)
         D_pad = _round_up(D, BR3)
         cnt_o = np.zeros(D_pad, np.int64)
         cnt_o[: len(cnt_o0)] = cnt_o0
