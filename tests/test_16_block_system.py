@@ -189,7 +189,7 @@ def test_benchmark_cg_donating_smoke(capsys):
     assert "ms per iteration" in out
 
 
-@pytest.mark.parametrize("solver", [2, 3])
+@pytest.mark.parametrize("solver", [2, 3, 4])
 def test_benchmark_other_solvers_smoke(capsys, solver):
     """benchmark.py -solver 2|3 runs end-to-end on CPU (regression: the
     scalar-state snapshot must skip BiCGStab's residual_norm_squared METHOD,
