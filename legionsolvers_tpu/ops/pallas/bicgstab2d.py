@@ -42,10 +42,16 @@ from .stencil2d import PADC, _VMEM_BUDGET, _VMEM_LIMIT
 
 PAD = 8
 
+# Calibrated against Mosaic's actual allocation (round 5): the generic
+# 40 MB budget starved the wide-row tiles (TR = 8 at C = 32768, the
+# 1.40x-per-element wall of PROFILE_r05 §5); TR = 16 compiles inside the
+# 64 MB scoped limit and runs 12% faster end-to-end.
+_VMEM_BUDGET_BICG = 60 * 2**20
+
 
 def _pick_tile_rows_nwin(
     R: int, C: int, itemsize: int, n_windows: int, n_streams: int,
-    vmem_budget: int = _VMEM_BUDGET,
+    vmem_budget: int = _VMEM_BUDGET_BICG,
 ) -> int:
     """Largest row tile for a kernel with ``n_windows`` double-buffered
     halo windows (+1 value-level load each) and ``n_streams`` pipelined

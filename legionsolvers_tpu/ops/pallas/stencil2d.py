@@ -673,21 +673,29 @@ GRAM_NAMES = ("rr", "pAp", "rAp", "ApAp", "rAr",
 
 # step2 gets a higher budget than the generic kernels: TR=128 at C=4096
 # models at ~51 MB and measures ~2% faster than TR=64 (fewer window-halo
-# re-reads), still under the 64 MB scoped-vmem limit
-_VMEM_BUDGET_STEP2 = 56 * 2**20
+# re-reads), still under the 64 MB scoped-vmem limit (62 MB since round
+# 5: admits TR = 16 at C = 32768, verified compiling and 16% faster)
+_VMEM_BUDGET_STEP2 = 62 * 2**20
 
 
 def _pick_tile_rows_step2(
     R: int, C: int, itemsize: int, vmem_budget: int = _VMEM_BUDGET_STEP2
 ) -> int:
     """Tile rows for the step2 kernel: 2 double-buffered windows (r, p), 2
-    value-level window loads, ~8 extended-row compute temporaries, and 4
-    streamed (TR, C) blocks (x in; x/r/p out), each double-buffered."""
+    value-level window loads, ~6 extended-row compute temporaries, and 4
+    streamed (TR, C) blocks (x in; x/r/p out), each double-buffered.
+
+    The temporaries coefficient is calibrated against Mosaic's actual
+    allocation (round 5): the previous 8x model rejected TR = 16 at
+    C = 32768 (modelled 67.5 MB) although it compiles inside the 64 MB
+    scoped limit and runs 16% faster than the TR = 8 it forced — the
+    wide-row tile starvation behind the 2-D 2^30 rung's 71%-of-stream
+    (PROFILE_r05 §5)."""
     best = 0
     tr = 8
     while tr <= min(R, 128):
         W, CW = tr + 16, C + 2 * PADC
-        need = (6 * W * CW + 8 * (tr + 8) * CW + 8 * tr * C) * itemsize
+        need = (6 * W * CW + 6 * (tr + 8) * CW + 8 * tr * C) * itemsize
         if R % tr == 0 and need <= vmem_budget:
             best = tr
         tr += 8
