@@ -231,7 +231,9 @@ def plan_static_gather(
         ovf_src[reg_o * V + ovf_rank] = src[ovf]
 
     idx3 = np.zeros(D_pad * 1024, np.int32)
-    idx3[e_dest] = (b_local * W2 + rank2).astype(np.int32)
+    # rank2-major within the region row: matches apply_static_gather's
+    # lane-major T2 layout (plain 2-D transpose; see the T2 comment there)
+    idx3[e_dest] = (rank2 * RB + b_local).astype(np.int32)
     if capped:
         idx3[e_dest[ovf]] = (RB * W2 + ovf_rank).astype(np.int32)
 
@@ -271,8 +273,15 @@ def apply_static_gather(x_pad, plan, idx1, idx2, idx3, vals3, ovf=None,
         interpret=interpret,
     )
     i2g = i2.reshape(B1, RB, P * 1024)[:, :, : NRg * W2]
-    i2t = i2g.reshape(B1, RB, NRg, W2).transpose(0, 2, 1, 3)
-    i2t = i2t.reshape(B1 * NRg, RB * W2)
+    # T2 as a PLAIN 2-D transpose per group, (RB, NRg*W2) -> (NRg*W2, RB):
+    # both minor dims are large (RB >= 8, typically 128+), so XLA tiles it
+    # at near-stream rate.  The naive (0, 2, 1, 3) region-major move keeps
+    # W2 (tiny — the capped winner's W2 is ~6) as the minor dim, which runs
+    # ~20x below bandwidth; the within-row slot ORDER of i2t is plan-defined
+    # (idx3 encodes rank2 * RB + b_local to match this layout), so the
+    # lane-major choice is free.
+    i2t = i2g.reshape(B1, RB, NRg * W2).transpose(0, 2, 1)
+    i2t = i2t.reshape(B1, NRg, W2 * RB).reshape(B1 * NRg, W2 * RB)
     n_regions = plan["D_pad"] // G2
     if i2t.shape[0] < n_regions:
         i2t = jnp.pad(i2t, ((0, n_regions - i2t.shape[0]), (0, 0)))
